@@ -1,0 +1,200 @@
+"""Voxel signed-distance-field lookups, TPU-first.
+
+Reimplements the reference's dense-grid SDF
+(``gpflow_vgpmp/utils/sdf_utils.py:25-136``) as pure JAX:
+
+- lookups are one flat gather (``data.reshape(-1)[flat_idx]``) instead of a
+  3-D ``gather_nd`` — a single XLA gather op that fuses with the surrounding
+  elementwise work;
+- ``mode='nearest'`` reproduces the reference exactly: nearest-cell value with
+  a custom VJP routing the upstream gradient through the *central-difference*
+  spatial gradient, including the reference's zero-gradient -> 0.1 replacement
+  hack (``sdf_utils.py:124-135`` and ``likelihood.py:146-176``);
+- ``mode='trilinear'`` is the TPU-native upgrade: C0 interpolation whose
+  autodiff gradient is the exact piecewise-constant trilinear derivative — no
+  custom VJP needed and no zero-gradient plateaus at cell granularity.
+
+Grids are small pytrees (``data [nx,ny,nz], origin [3], delta []``) so they
+batch/shard like any other array.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = ["SdfGrid", "nearest_distance", "trilinear_distance", "distance"]
+
+
+@struct.dataclass
+class SdfGrid:
+    data: jnp.ndarray    # [nx, ny, nz] signed distances, meters
+    origin: jnp.ndarray  # [3] world position of voxel (0,0,0)
+    delta: jnp.ndarray   # [] voxel edge length
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @classmethod
+    def from_arrays(cls, data, origin, delta, dtype: Any = jnp.float32) -> "SdfGrid":
+        return cls(
+            data=jnp.asarray(data, dtype=dtype),
+            origin=jnp.asarray(origin, dtype=dtype),
+            delta=jnp.asarray(delta, dtype=dtype),
+        )
+
+    @classmethod
+    def load(cls, path, dtype: Any = jnp.float32) -> "SdfGrid":
+        """Load a grid from the ``.npz`` artifact written by the asset tools."""
+        with np.load(path) as z:
+            return cls.from_arrays(z["data"], z["origin"], float(z["delta"]), dtype)
+
+    @staticmethod
+    def save_npz(path, data: np.ndarray, origin: np.ndarray, delta: float, meta: dict | None = None):
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(path, data=data.astype(np.float32), origin=np.asarray(origin, np.float64), delta=np.float64(delta))
+        if meta:
+            path.with_suffix(".json").write_text(json.dumps(meta, indent=1))
+
+
+def _cell_index(grid: SdfGrid, points: jnp.ndarray) -> jnp.ndarray:
+    """Clipped integer cell index per point: ``[..., 3] -> [..., 3] int32``."""
+    nmax = jnp.asarray(
+        [grid.data.shape[0] - 1, grid.data.shape[1] - 1, grid.data.shape[2] - 1],
+        dtype=jnp.int32,
+    )
+    idx = jnp.floor((points - grid.origin) / grid.delta).astype(jnp.int32)
+    return jnp.clip(idx, 0, nmax)
+
+
+def _gather(grid: SdfGrid, idx: jnp.ndarray) -> jnp.ndarray:
+    """Flat gather of ``data[ix, iy, iz]`` for integer index tensors."""
+    nx, ny, nz = grid.data.shape
+    flat = (idx[..., 0] * ny + idx[..., 1]) * nz + idx[..., 2]
+    return jnp.take(grid.data.reshape(-1), flat, axis=0)
+
+
+def central_difference_grad(
+    grid: SdfGrid, points: jnp.ndarray, zero_replacement: float = 0.1
+) -> jnp.ndarray:
+    """Central-difference spatial gradient at the nearest cell, ``[..., 3]``.
+
+    Parity with ``sdf_utils.get_distance_grad_tf`` (``sdf_utils.py:100-136``),
+    including the reference's replacement of exactly-zero components with
+    ``0.1`` (a hand-tuned escape from flat SDF plateaus). Pass
+    ``zero_replacement=0.0`` to disable the hack.
+    """
+    idx = _cell_index(grid, points)
+    nmax = jnp.asarray([s - 1 for s in grid.data.shape], dtype=jnp.int32)
+    comps = []
+    for axis in range(3):
+        e = jnp.zeros((3,), dtype=jnp.int32).at[axis].set(1)
+        hi = jnp.clip(idx + e, 0, nmax)
+        lo = jnp.clip(idx - e, 0, nmax)
+        d = (_gather(grid, hi) - _gather(grid, lo)) / (2.0 * grid.delta)
+        if zero_replacement:
+            d = jnp.where(d == 0, jnp.asarray(zero_replacement, d.dtype), d)
+        comps.append(d)
+    return jnp.stack(comps, axis=-1)
+
+
+def _nearest_raw(grid: SdfGrid, points: jnp.ndarray) -> jnp.ndarray:
+    return _gather(grid, _cell_index(grid, points))
+
+
+def nearest_distance(
+    grid: SdfGrid, points: jnp.ndarray, zero_replacement: float = 0.1
+) -> jnp.ndarray:
+    """Nearest-cell SDF value with central-difference custom VJP.
+
+    The lookup itself is non-differentiable (piecewise constant); the VJP
+    chains the upstream scalar through the central-difference spatial
+    gradient, exactly as the reference's ``@tf.custom_gradient`` does
+    (``likelihood.py:146-176``).
+    """
+
+    @jax.custom_vjp
+    def _lookup(p):
+        return _nearest_raw(grid, p)
+
+    def _fwd(p):
+        return _nearest_raw(grid, p), central_difference_grad(grid, p, zero_replacement)
+
+    def _bwd(res, g):
+        return (g[..., None] * res,)
+
+    _lookup.defvjp(_fwd, _bwd)
+    return _lookup(points)
+
+
+def trilinear_distance(grid: SdfGrid, points: jnp.ndarray) -> jnp.ndarray:
+    """C0 trilinear SDF interpolation; differentiable by plain autodiff.
+
+    Uses the cell-corner convention: corner (i,j,k) sits at
+    ``origin + delta * (i,j,k)``. Points outside the grid clamp to the border
+    values (matching the reference's clipping semantics).
+    """
+    nmax = jnp.asarray([s - 1 for s in grid.data.shape], dtype=points.dtype)
+    rel = (points - grid.origin) / grid.delta
+    rel = jnp.clip(rel, 0.0, nmax)
+    i0 = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, (nmax - 1).astype(jnp.int32))
+    frac = rel - i0.astype(points.dtype)
+
+    def corner(dx, dy, dz):
+        return _gather(grid, i0 + jnp.asarray([dx, dy, dz], dtype=jnp.int32))
+
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    c00 = corner(0, 0, 0) * (1 - fz) + corner(0, 0, 1) * fz
+    c01 = corner(0, 1, 0) * (1 - fz) + corner(0, 1, 1) * fz
+    c10 = corner(1, 0, 0) * (1 - fz) + corner(1, 0, 1) * fz
+    c11 = corner(1, 1, 0) * (1 - fz) + corner(1, 1, 1) * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
+def distance(grid: SdfGrid, points: jnp.ndarray, mode: str = "trilinear") -> jnp.ndarray:
+    """Dispatch: ``mode in ('trilinear', 'nearest')``; see module docstring."""
+    if mode == "trilinear":
+        return trilinear_distance(grid, points)
+    if mode == "nearest":
+        return nearest_distance(grid, points)
+    raise ValueError(f"unknown SDF mode {mode!r}")
+
+
+# ----------------------------------------------------------------- numpy twins
+
+
+def nearest_distance_np(data: np.ndarray, origin, delta, points: np.ndarray) -> np.ndarray:
+    nmax = np.asarray(data.shape) - 1
+    idx = np.clip(np.floor((points - origin) / delta).astype(int), 0, nmax)
+    return data[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+
+def central_difference_grad_np(
+    data: np.ndarray, origin, delta, points: np.ndarray, zero_replacement: float = 0.1
+) -> np.ndarray:
+    nmax = np.asarray(data.shape) - 1
+    idx = np.clip(np.floor((points - origin) / delta).astype(int), 0, nmax)
+    out = []
+    for axis in range(3):
+        e = np.zeros(3, dtype=int)
+        e[axis] = 1
+        hi = np.clip(idx + e, 0, nmax)
+        lo = np.clip(idx - e, 0, nmax)
+        d = (
+            data[hi[..., 0], hi[..., 1], hi[..., 2]]
+            - data[lo[..., 0], lo[..., 1], lo[..., 2]]
+        ) / (2 * delta)
+        if zero_replacement:
+            d = np.where(d == 0, zero_replacement, d)
+        out.append(d)
+    return np.stack(out, axis=-1)
