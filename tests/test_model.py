@@ -1,0 +1,138 @@
+"""Planner model + engine tests (tiny budgets, CPU-fast).
+
+End-to-end properties rather than golden numbers: ELBO finiteness and
+differentiability, initialization semantics (linear-interp q_mu,
+``models/vgpmp.py:166-171``), ELBO improvement under the solver loop, and
+batch/single consistency.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vgpmp_tpu.engine import solver
+from vgpmp_tpu.engine.validator import densify, validate_trajectory
+from vgpmp_tpu.models import vgpmp as planner
+from vgpmp_tpu.session import PlanningSession
+
+TINY = dict(num_steps=15, num_samples=4, num_bases=128, time_spacing_X=16,
+            time_spacing_Xnew=24)
+
+
+@pytest.fixture(scope="module")
+def session():
+    return PlanningSession("franka", "industrial", dtype=jnp.float64, overrides=TINY)
+
+
+@pytest.fixture(scope="module")
+def problem(session):
+    starts, goals = session.queries()
+    return jnp.asarray(starts[3]), jnp.asarray(goals[3])
+
+
+def _init(session, start, goal):
+    pp = session.planner_params
+    return planner.init_params(
+        session.model, start, goal,
+        lengthscales=pp["lengthscales"], variance=pp["variance"],
+        sigma_obs=pp["sigma_obs"], alpha=pp["alpha"],
+    )
+
+
+def test_init_params_linear_interp(session, problem):
+    start, goal = problem
+    params = _init(session, start, goal)
+    c = planner.constrain(params)
+    # constrained q_mu rows must lie on the straight segment start->goal
+    from vgpmp_tpu.likelihoods.collision import joint_sigmoid
+
+    q_c = joint_sigmoid(c["q_mu"], session.model.limits_low, session.model.limits_high)
+    M = session.model.num_inducing
+    for i in [0, M // 2, M - 1]:
+        w = i / M
+        want = np.asarray(start) * (1 - w) + np.asarray(goal) * w
+        np.testing.assert_allclose(np.asarray(q_c[i]), want, atol=1e-8)
+    # transforms round-trip
+    np.testing.assert_allclose(float(c["alpha"]), session.planner_params["alpha"], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(c["lengthscales"]), session.planner_params["lengthscales"], rtol=1e-6
+    )
+
+
+def test_elbo_finite_and_differentiable(session, problem):
+    start, goal = problem
+    params = _init(session, start, goal)
+    X = jnp.linspace(0, 1, TINY["time_spacing_X"])
+    val, grads = jax.value_and_grad(
+        lambda p: planner.elbo(p, session.model, start, goal, X, jax.random.PRNGKey(0))
+    )(params)
+    assert np.isfinite(float(val))
+    flat = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    # trainable leaves get nonzero gradients
+    assert float(jnp.abs(grads.q_mu).max()) > 0
+    assert float(jnp.abs(grads.lengthscales_u).max()) > 0
+
+
+def test_solver_improves_elbo(session, problem):
+    start, goal = problem
+    params = _init(session, start, goal)
+    solve = jax.jit(solver.make_single_solver(session.model, session.train_config))
+    _, res = solve(params, start, goal, jax.random.PRNGKey(0))
+    eh = np.asarray(res.elbo_history)
+    assert np.all(np.isfinite(eh))
+    # smoothed ELBO at the end above the start (MC noise: compare means)
+    assert eh[-5:].mean() > eh[:5].mean()
+    assert res.best.shape == (TINY["time_spacing_Xnew"], session.spec.dof)
+    # endpoints clamp to the query
+    assert float(jnp.abs(res.best[0] - start).max()) < 0.05
+    assert float(jnp.abs(res.best[-1] - goal).max()) < 0.05
+
+
+def test_batch_matches_single(session, problem):
+    start, goal = problem
+    params = _init(session, start, goal)
+    key = jax.random.PRNGKey(7)
+    solve = jax.jit(solver.make_single_solver(session.model, session.train_config))
+    _, res_single = solve(params, start, goal, key)
+
+    batch = solver.make_batch_solver(session.model, session.train_config)
+    pb = jax.tree.map(lambda x: x[None], params)
+    _, res_batch = batch(pb, start[None], goal[None], key[None])
+    np.testing.assert_allclose(
+        np.asarray(res_batch.best[0]), np.asarray(res_single.best), atol=1e-8
+    )
+
+
+def test_densify():
+    traj = jnp.asarray([[0.0, 0.0], [1.0, 2.0], [2.0, 0.0]])
+    d = densify(traj, 4)
+    assert d.shape == (9, 2)
+    np.testing.assert_allclose(np.asarray(d[0]), [0, 0])
+    np.testing.assert_allclose(np.asarray(d[4]), [1, 2])
+    np.testing.assert_allclose(np.asarray(d[2]), [0.5, 1.0])
+    np.testing.assert_allclose(np.asarray(d[-1]), [2, 0])
+
+
+def test_validator_flags_collision(session, problem):
+    """A trajectory driven through the scene must fail; the straight segment
+    between two free-space configs far from the scene must pass."""
+    model = session.model
+    start, goal = problem
+    # endpoints at the default pose (free space), trajectory passes through it
+    q_free = jnp.asarray(session.spec.default_pose)
+    traj = jnp.broadcast_to(q_free, (10, session.spec.dof))
+    rep = validate_trajectory(model.collision, traj, q_free, q_free,
+                              model.limits_low, model.limits_high)
+    assert bool(rep.endpoints_ok) and bool(rep.limits_ok)
+
+    # violating joint limits must fail
+    bad = traj.at[5].set(model.limits_high * 1.5)
+    rep_bad = validate_trajectory(model.collision, bad, q_free, q_free,
+                                  model.limits_low, model.limits_high)
+    assert not bool(rep_bad.limits_ok)
+    # wrong endpoints must fail
+    rep_ep = validate_trajectory(model.collision, traj, q_free + 1.0, q_free,
+                                 model.limits_low, model.limits_high)
+    assert not bool(rep_ep.endpoints_ok)

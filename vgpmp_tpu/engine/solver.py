@@ -1,0 +1,160 @@
+"""Batched planning engine: the whole optimize->extract pipeline in one XLA program.
+
+This is the TPU-native replacement for the reference's per-problem Python
+training loop (``utils/miscellaneous.py:68-103`` + ``benchmarking.py:73-91``,
+one ``tf.function`` step at a time under tqdm): here the entire 130-200-step
+Adam optimization is a single ``lax.scan`` inside jit, *vmapped over a batch
+of problems* — thousands of independent planning problems advance in lockstep
+on one chip, which is where the orders-of-magnitude throughput over the
+reference comes from. The engine is sharded over a device mesh by the
+``parallel`` layer (problems are embarrassingly parallel; metrics ride psum).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from vgpmp_tpu.models import vgpmp as planner
+
+__all__ = ["TrainConfig", "SolveResult", "make_single_solver", "make_batch_solver", "default_trainable"]
+
+
+@struct.dataclass
+class TrainConfig:
+    """Static optimization schedule (per problemset tuning, cf.
+    ``data/problemsets/*.planner_params``)."""
+
+    num_steps: int = struct.field(pytree_node=False, default=130)
+    learning_rate: float = struct.field(pytree_node=False, default=0.09)
+    beta1: float = struct.field(pytree_node=False, default=0.8)   # miscellaneous.py / vgpmp.py:77
+    beta2: float = struct.field(pytree_node=False, default=0.95)
+    time_spacing_X: int = struct.field(pytree_node=False, default=70)
+    time_spacing_Xnew: int = struct.field(pytree_node=False, default=150)
+    num_posterior_samples: int = struct.field(pytree_node=False, default=150)
+
+
+def default_trainable() -> dict:
+    """Benchmark trainable mask (``parameters.yaml:37-44`` +
+    ``miscellaneous.py:324-343``)."""
+    return {
+        "q_mu": True,
+        "q_sqrt": True,
+        "lengthscales_u": True,
+        "variance_u": True,
+        "z_u": False,
+        "sigma_obs_u": False,
+        "alpha_u": False,
+    }
+
+
+def _mask_pytree(params: planner.PlannerParams, trainable: dict) -> planner.PlannerParams:
+    return planner.PlannerParams(
+        **{
+            k: jnp.full_like(getattr(params, k), 1.0 if trainable[k] else 0.0)
+            for k in trainable
+        }
+    )
+
+
+class SolveResult(NamedTuple):
+    best: jnp.ndarray         # [Nnew, L] best posterior sample (constrained)
+    mean: jnp.ndarray         # [Nnew, L] analytic posterior mean (constrained)
+    best_score: jnp.ndarray   # [] collision log-density of the best sample
+    elbo_history: jnp.ndarray  # [num_steps]
+    samples: Optional[jnp.ndarray] = None  # [K, Nnew, L] first samples
+
+
+def make_single_solver(
+    model: planner.PlannerModel,
+    cfg: TrainConfig,
+    trainable: Optional[dict] = None,
+    keep_samples: int = 0,
+):
+    """Build ``solve(params0, start, goal, key) -> (params, SolveResult)``.
+
+    The returned function is pure and jit/vmap/shard-compatible; the Adam loop
+    is a ``lax.scan`` over per-step PRNG keys (a fresh RFF/pathwise draw per
+    step, matching the reference's per-step ``temporary_paths``).
+    """
+    trainable = trainable or default_trainable()
+    dtype = model.limits_low.dtype
+    X = jnp.linspace(0.0, 1.0, cfg.time_spacing_X, dtype=dtype)
+    Xnew = jnp.linspace(0.0, 1.0, cfg.time_spacing_Xnew, dtype=dtype)
+    opt = optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2)
+
+    def solve(params: planner.PlannerParams, start, goal, key):
+        mask = _mask_pytree(params, trainable)
+        opt_state = opt.init(params)
+
+        def loss_fn(p, k):
+            return -planner.elbo(p, model, start, goal, X, k)
+
+        def step(carry, k):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, k)
+            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), -loss
+
+        keys = jax.random.split(key, cfg.num_steps + 1)
+        (params, _), elbo_hist = jax.lax.scan(step, (params, opt_state), keys[:-1])
+
+        mean, best, samples, scores = planner.sample_from_posterior(
+            params, model, start, goal, Xnew, keys[-1], cfg.num_posterior_samples
+        )
+        result = SolveResult(
+            best=best,
+            mean=mean,
+            best_score=jnp.max(scores),
+            elbo_history=elbo_hist,
+            samples=samples[:keep_samples] if keep_samples else None,
+        )
+        return params, result
+
+    return solve
+
+
+def make_batch_solver(
+    model: planner.PlannerModel,
+    cfg: TrainConfig,
+    trainable: Optional[dict] = None,
+    keep_samples: int = 0,
+):
+    """Build ``solve_batch(params0_b, starts, goals, keys) -> (params_b, results_b)``.
+
+    All arguments carry a leading problem axis B; constants (robot, SDF,
+    kernel config) are closed over and shared. One jit compiles the full
+    B-problem optimize+extract program.
+    """
+    solve = make_single_solver(model, cfg, trainable, keep_samples)
+    return jax.jit(jax.vmap(solve, in_axes=(0, 0, 0, 0)))
+
+
+def init_batch(
+    model: planner.PlannerModel,
+    starts: np.ndarray,
+    goals: np.ndarray,
+    planner_params: dict,
+) -> planner.PlannerParams:
+    """Vectorized ``init_params`` over a problem batch.
+
+    ``planner_params`` is the problemset hyperparameter dict (sigma_obs,
+    lengthscales, variance, alpha, ...).
+    """
+    init = functools.partial(
+        planner.init_params,
+        model,
+        lengthscales=np.asarray(planner_params["lengthscales"], dtype=np.float64),
+        variance=float(planner_params["variance"]),
+        sigma_obs=float(planner_params["sigma_obs"]),
+        alpha=float(planner_params["alpha"]),
+    )
+    return jax.vmap(lambda s, g: init(s, g))(jnp.asarray(starts), jnp.asarray(goals))

@@ -1,0 +1,101 @@
+"""Geometric trajectory validator — the CI-friendly success metric.
+
+The reference counts a problem solved only if a PyBullet PD position
+controller physically reaches every waypoint of the best sample
+(``utils/robot.py:416-480``, ``benchmarking.py:83-90``); a colliding
+trajectory blocks the arm and fails. This module is the simulator-free
+equivalent: a trajectory *succeeds* when
+
+  1. endpoints match the query within a joint-space tolerance, and
+  2. every collision sphere stays clear of the scene (clearance >= margin)
+     along a dense interpolation between waypoints, and
+  3. joint limits hold (guaranteed by the sigmoid squashing, still checked).
+
+An optional PyBullet executor for exact parity with the reference's physical
+metric lives in ``vgpmp_tpu/sim`` (gated on pybullet availability).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vgpmp_tpu.likelihoods.collision import CollisionModel
+
+__all__ = ["ValidationReport", "validate_trajectory", "densify"]
+
+
+class ValidationReport(NamedTuple):
+    success: jnp.ndarray        # [] bool
+    collision_free: jnp.ndarray  # [] bool
+    endpoints_ok: jnp.ndarray   # [] bool
+    limits_ok: jnp.ndarray      # [] bool
+    min_clearance: jnp.ndarray  # [] meters (worst sphere clearance anywhere)
+    max_endpoint_err: jnp.ndarray  # [] radians
+
+
+def densify(traj: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Linear upsampling between waypoints: ``[T, L] -> [(T-1)*factor+1, L]``."""
+    a = traj[:-1]  # [T-1, L]
+    b = traj[1:]
+    w = jnp.linspace(0.0, 1.0, factor, endpoint=False, dtype=traj.dtype)
+    dense = a[:, None, :] + (b - a)[:, None, :] * w[None, :, None]
+    return jnp.concatenate([dense.reshape(-1, traj.shape[-1]), traj[-1:]], axis=0)
+
+
+def validate_trajectory(
+    collision: CollisionModel,
+    traj: jnp.ndarray,
+    start: jnp.ndarray,
+    goal: jnp.ndarray,
+    limits_low: jnp.ndarray,
+    limits_high: jnp.ndarray,
+    clearance_margin: float | None = None,
+    endpoint_tol: float = 0.05,
+    densify_factor: int = 4,
+    endpoint_slack: float = 0.005,
+) -> ValidationReport:
+    """Validate one trajectory ``[T, L]`` (constrained joint space).
+
+    ``endpoint_tol`` matches the reference controller's per-joint tolerance
+    (0.05 rad, ``robot.py:428``).
+
+    ``clearance_margin=None`` (default) uses an *endpoint-relative* margin:
+    several benchmark query states are grasp-like poses whose sphere model
+    intrinsically penetrates the scene by 1-3 cm, so a trajectory counts as
+    collision-free when it never penetrates deeper than its own endpoints
+    require (minus ``endpoint_slack``). This tracks the reference's physical
+    success metric, which tolerates endpoint contact (the PD controller still
+    reaches grazing waypoints) but fails on real collisions en route.
+    Pass an explicit float for a strict absolute margin.
+    """
+    dense = densify(traj, densify_factor)
+    clearance = collision.sphere_clearance(dense)  # [Td, P]
+    min_clear = jnp.min(clearance)
+    if clearance_margin is None:
+        end_clear = jnp.minimum(
+            jnp.min(collision.sphere_clearance(start)),
+            jnp.min(collision.sphere_clearance(goal)),
+        )
+        margin = jnp.minimum(0.0, end_clear) - endpoint_slack
+    else:
+        margin = jnp.asarray(clearance_margin, dtype=min_clear.dtype)
+    collision_free = min_clear >= margin
+
+    end_err = jnp.maximum(
+        jnp.max(jnp.abs(traj[0] - start)), jnp.max(jnp.abs(traj[-1] - goal))
+    )
+    endpoints_ok = end_err <= endpoint_tol
+
+    limits_ok = jnp.all((dense >= limits_low) & (dense <= limits_high))
+
+    return ValidationReport(
+        success=collision_free & endpoints_ok & limits_ok,
+        collision_free=collision_free,
+        endpoints_ok=endpoints_ok,
+        limits_ok=limits_ok,
+        min_clearance=min_clear,
+        max_endpoint_err=end_err,
+    )

@@ -1,0 +1,145 @@
+"""Decoupled (pathwise) posterior sampling — the engine behind the MC ELBO.
+
+Native reimplementation of the GPflowSampling machinery the reference leans
+on (``PathwiseSVGP.temporary_paths`` / ``predict_f_samples``;
+``models/vgpmp.py:281-282,318-319``), per Wilson et al. 2020, "Efficiently
+Sampling Functions from Gaussian Process Posteriors":
+
+    f(x) = Φ(x) w  +  k(x, Zy) Kuu^{-1} (u - Φ(Zy) w)
+
+- ``Φ`` are B random Fourier features of the per-joint Matérn-5/2 prior
+  (spectral frequencies ~ Student-t(2ν)/lengthscale, phases ~ U[0, 2π));
+- ``u ~ N(q_mu_full, Λ Λᵀ)`` with the *conditioned* parameterization: the
+  first C rows of ``q_mu_full`` are the fixed query states and ``Λ`` is the
+  manually-whitened scale ``chol(Kuu) @ pad(q_sqrt)`` + jitter rows — exactly
+  the reference's ``q_mu``/``q_sqrt`` property overrides
+  (``models/vgpmp.py:200-218``), which is what clamps start/goal;
+- the pathwise update solves against the shared ``chol(Kuu)``.
+
+All math is batched over S samples x L latents in fused einsums — the
+dominant costs are MXU-friendly ``[L(S), Mc/N, B]`` contractions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vgpmp_tpu.gp.conditioned import zy as zy_fn
+
+__all__ = ["PathState", "draw_paths", "eval_paths", "whitened_scale"]
+
+TWO_PI = 6.283185307179586
+
+
+class PathState(NamedTuple):
+    """Frozen randomness + precomputation for one set of S sampled paths."""
+
+    omega: jnp.ndarray   # [L, B] RFF frequencies
+    phase: jnp.ndarray   # [L, B] RFF phases
+    w: jnp.ndarray       # [S, L, B] prior basis weights
+    v: jnp.ndarray       # [S, L, Mc] pathwise-update coefficients
+    rff_scale: jnp.ndarray  # [L, 1] sqrt(2 s2 / B)
+
+
+def whitened_scale(chol_kuu: jnp.ndarray, q_sqrt: jnp.ndarray, jitter: float = 1e-6) -> jnp.ndarray:
+    """Conditioned covariance factor Λ = chol(Kuu) @ pad(q_sqrt) + jitter-pad.
+
+    Parity with the reference's manual whitening (``models/vgpmp.py:209-218``):
+    ``q_sqrt`` ([L, M, M]) is zero-padded by C rows/cols in front, multiplied
+    by the full Cholesky, and the C conditioned rows get a jitter*I block so
+    u's first rows are (up to jitter) exactly the query states.
+    """
+    Mc = chol_kuu.shape[-1]
+    M = q_sqrt.shape[-1]
+    C = Mc - M
+    pad = jnp.zeros(chol_kuu.shape[:-2] + (Mc, Mc), dtype=chol_kuu.dtype)
+    pad = pad.at[..., C:, C:].set(jnp.tril(q_sqrt))
+    jitter_pad = jitter * jnp.eye(Mc, dtype=chol_kuu.dtype) * (
+        jnp.arange(Mc) < C
+    ).astype(chol_kuu.dtype)
+    return chol_kuu @ pad + jitter_pad
+
+
+def _rff_features(x: jnp.ndarray, omega: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
+    """cos features: ``x [L, A], omega/phase [L, B] -> [L, A, B]`` (unscaled)."""
+    return jnp.cos(x[..., :, None] * omega[..., None, :] + phase[..., None, :])
+
+
+def draw_paths(
+    key: jax.Array,
+    ny: jnp.ndarray,
+    Z: jnp.ndarray,
+    lengthscales: jnp.ndarray,
+    variance: jnp.ndarray,
+    chol_kuu: jnp.ndarray,
+    q_mu_full: jnp.ndarray,
+    q_sqrt: jnp.ndarray,
+    num_samples: int,
+    num_bases: int,
+    df: float = 5.0,
+    jitter: float = 1e-6,
+) -> PathState:
+    """Draw S function samples (reference ``temporary_paths``).
+
+    Args:
+        ny: ``[C]`` conditioned timesteps; Z: ``[M, L]`` inducing inputs.
+        lengthscales, variance: ``[L]`` Matérn-5/2 hyperparameters.
+        chol_kuu: ``[L, Mc, Mc]`` Cholesky of the conditioned Gram.
+        q_mu_full: ``[Mc, L]`` mean with query-state rows in front.
+        q_sqrt: ``[L, M, M]`` free lower-triangular factors.
+    """
+    L = Z.shape[-1]
+    Mc = chol_kuu.shape[-1]
+    k_omega, k_phase, k_w, k_eps = jax.random.split(key, 4)
+    # bulk tensors (RFF bases, weights) stay in the model dtype; the solve
+    # path runs in chol_kuu's dtype (f64 island on TPU — see conditioned.kuu)
+    bulk = Z.dtype
+    solve = chol_kuu.dtype
+
+    # Matérn-ν spectral sampling: omega ~ StudentT(2ν) / lengthscale
+    t = jax.random.t(k_omega, df, shape=(L, num_bases), dtype=bulk)
+    omega = t / lengthscales[:, None]
+    phase = jax.random.uniform(k_phase, (L, num_bases), dtype=bulk, maxval=TWO_PI)
+    w = jax.random.normal(k_w, (num_samples, L, num_bases), dtype=bulk)
+    rff_scale = jnp.sqrt(2.0 * variance[:, None] / num_bases).astype(bulk)
+
+    # prior paths at the inducing inputs: [S, L, Mc]
+    phi_z = _rff_features(zy_fn(ny, Z).astype(bulk), omega, phase) * rff_scale[..., None]
+    f_prior_z = jnp.einsum("lmb,slb->slm", phi_z, w).astype(solve)
+
+    # u ~ N(q_mu_full, Λ Λᵀ): [S, L, Mc]
+    lam = whitened_scale(chol_kuu, q_sqrt.astype(solve), jitter)
+    eps = jax.random.normal(k_eps, (num_samples, L, Mc), dtype=solve)
+    u = q_mu_full.T[None].astype(solve) + jnp.einsum("lmn,sln->slm", lam, eps)
+
+    # pathwise-update coefficients: Kuu^{-1} (u - f_prior(Z)); S samples are
+    # carried as RHS columns so the solve batches over L only
+    resid = jnp.transpose(u - f_prior_z, (1, 2, 0))  # [L, Mc, S]
+    v = jnp.transpose(
+        jax.scipy.linalg.cho_solve((chol_kuu, True), resid), (2, 0, 1)
+    )  # [S, L, Mc]
+    return PathState(omega=omega, phase=phase, w=w, v=v, rff_scale=rff_scale)
+
+
+def eval_paths(state: PathState, kuf: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate drawn paths at grid ``X [N]`` (reference ``predict_f_samples``).
+
+    Args:
+        kuf: ``[L, Mc, N]`` cross-covariance at X (shares the model's Gram
+            machinery, so the pathwise update uses the same kernel as the KL).
+    Returns:
+        ``[S, N, L]`` latent function samples.
+    """
+    L = state.omega.shape[0]
+    bulk = state.omega.dtype
+    Xb = jnp.broadcast_to(X.astype(bulk), (L, X.shape[0]))
+    phi_x = _rff_features(Xb, state.omega, state.phase) * state.rff_scale[..., None]
+    f_prior = jnp.einsum("lnb,slb->sln", phi_x, state.w)
+    # the pathwise-update contraction runs in the solve dtype: ||v|| can be
+    # ~1e4 on ill-conditioned Grams and the cancellation back to O(1) needs
+    # the extra precision; it's a tiny [L,Mc,N]x[S,L,Mc] product
+    update = jnp.einsum("lmn,slm->sln", kuf.astype(state.v.dtype), state.v)
+    return jnp.transpose(f_prior + update.astype(bulk), (0, 2, 1))

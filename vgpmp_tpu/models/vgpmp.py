@@ -1,0 +1,231 @@
+"""vGPMP planner model: variational state, MC-ELBO, posterior extraction.
+
+TPU-native reimplementation of the reference ``VGPMP`` model
+(``gpflow_vgpmp/models/vgpmp.py:59-339``) as pure functions over explicit
+pytrees:
+
+- :class:`PlannerParams` holds the *unconstrained* trainable leaves (GPflow
+  Parameter semantics: optimizers step in unconstrained space, transforms are
+  applied inside the loss);
+- :class:`PlannerModel` holds static hyperparameters + per-problem constants;
+- :func:`elbo` mirrors ``VGPMP.elbo`` (``models/vgpmp.py:265-289``): S
+  decoupled posterior samples -> joint sigmoid -> collision log-prob, minus
+  the conditioned prior KL, with the likelihood term scaled by alpha;
+- :func:`sample_from_posterior` mirrors ``models/vgpmp.py:313-339``.
+
+Everything here is single-problem; the engine layer vmaps/shards over a
+problem batch and runs the whole Adam loop in one ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from vgpmp_tpu.gp import conditioned, kl, pathwise, posterior
+from vgpmp_tpu.likelihoods.collision import (
+    CollisionModel,
+    joint_sigmoid,
+    joint_sigmoid_inverse,
+)
+from vgpmp_tpu.ops import kernels as kernel_ops
+from vgpmp_tpu.ops import transforms as tf_ops
+
+__all__ = ["PlannerParams", "PlannerModel", "init_params", "elbo", "sample_from_posterior"]
+
+# transform lower bounds (GPflow positive(lower) shifts), matching the
+# reference parameterization sites
+VARIANCE_LOWER = 1e-1      # kernel variance, models/vgpmp.py:139
+SIGMA_OBS_LOWER = 1e-5     # likelihood.py:30,41
+ALPHA_LOWER = 1e-4         # models/vgpmp.py:82
+Z_LOW, Z_HIGH = 0.09, 0.91  # models/vgpmp.py:37-42
+
+
+@struct.dataclass
+class PlannerParams:
+    """Unconstrained trainable state (one problem)."""
+
+    q_mu: jnp.ndarray          # [M, L] latent-space mean (no transform)
+    q_sqrt: jnp.ndarray        # [L, M, M] lower-tri via tril projection
+    lengthscales_u: jnp.ndarray  # [L] softplus
+    variance_u: jnp.ndarray    # [L] softplus + 0.1
+    z_u: jnp.ndarray           # [M, L] sigmoid box (0.09, 0.91)
+    sigma_obs_u: jnp.ndarray   # [P] softplus + 1e-5
+    alpha_u: jnp.ndarray       # [] softplus + 1e-4
+
+
+@struct.dataclass
+class PlannerModel:
+    """Static configuration + per-(robot, scene) constants."""
+
+    collision: CollisionModel
+    ny: jnp.ndarray            # [C] conditioned timesteps (0, 1)
+    limits_low: jnp.ndarray    # [L] joint sigmoid bounds
+    limits_high: jnp.ndarray   # [L]
+    num_samples: int = struct.field(pytree_node=False, default=7)
+    num_bases: int = struct.field(pytree_node=False, default=1024)
+    num_inducing: int = struct.field(pytree_node=False, default=14)
+    jitter: float = struct.field(pytree_node=False, default=1e-6)
+    # dtype for the conditioned-Gram linalg island (Cholesky + solves).
+    # f32 TPU runs need f64 here (requires jax_enable_x64): the Gram's
+    # condition number (1e7-1e9 at benchmark lengthscales) exceeds f32
+    # headroom and the Cholesky NaNs out. None -> use the bulk dtype.
+    solve_dtype: object = struct.field(pytree_node=False, default=None)
+
+    @property
+    def num_latent(self) -> int:
+        return self.limits_low.shape[0]
+
+
+def constrain(params: PlannerParams) -> dict:
+    """Apply all bijectors: unconstrained leaves -> model-space values."""
+    return {
+        "q_mu": params.q_mu,
+        "q_sqrt": jnp.tril(params.q_sqrt),
+        "lengthscales": tf_ops.positive(params.lengthscales_u),
+        "variance": tf_ops.positive(params.variance_u, VARIANCE_LOWER),
+        "Z": tf_ops.sigmoid_box(params.z_u, Z_LOW, Z_HIGH),
+        "sigma_obs": tf_ops.positive(params.sigma_obs_u, SIGMA_OBS_LOWER),
+        "alpha": tf_ops.positive(params.alpha_u, ALPHA_LOWER),
+    }
+
+
+def init_params(
+    model: PlannerModel,
+    start: np.ndarray,
+    goal: np.ndarray,
+    lengthscales,
+    variance: float,
+    sigma_obs: float,
+    alpha: float,
+) -> PlannerParams:
+    """Initialize the variational state for one problem.
+
+    Mirrors ``VGPMP.initialize`` (``models/vgpmp.py:84-198``): q_mu is the
+    linear interpolation start->goal pushed through the inverse joint sigmoid,
+    q_sqrt identity, Z an even grid in (0.1, 0.9).
+    """
+    L = model.num_latent
+    M = model.num_inducing
+    P = model.collision.fk.sphere_radii.shape[0]
+    lo, hi = model.limits_low, model.limits_high
+    dtype = lo.dtype  # explicit: under x64 the default would promote to f64
+
+    frac = jnp.arange(M, dtype=dtype)[:, None] / M
+    start = jnp.asarray(start, dtype=dtype)
+    goal = jnp.asarray(goal, dtype=dtype)
+    q_mu_c = start[None, :] + (goal - start)[None, :] * frac
+    q_mu = joint_sigmoid_inverse(q_mu_c, lo, hi)
+
+    z_grid = jnp.linspace(0.1, 0.9, M, dtype=dtype)[:, None].repeat(L, axis=1)
+    return PlannerParams(
+        q_mu=q_mu,
+        q_sqrt=jnp.eye(M, dtype=dtype)[None].repeat(L, axis=0),
+        lengthscales_u=tf_ops.positive_inverse(jnp.asarray(lengthscales, dtype=q_mu.dtype)),
+        variance_u=tf_ops.positive_inverse(
+            jnp.full((L,), variance, dtype=q_mu.dtype), VARIANCE_LOWER
+        ),
+        z_u=tf_ops.sigmoid_box_inverse(z_grid, Z_LOW, Z_HIGH),
+        sigma_obs_u=tf_ops.positive_inverse(
+            jnp.full((P,), sigma_obs, dtype=q_mu.dtype), SIGMA_OBS_LOWER
+        ),
+        alpha_u=tf_ops.positive_inverse(jnp.asarray(alpha, dtype=q_mu.dtype), ALPHA_LOWER),
+    )
+
+
+def query_latent(model: PlannerModel, start: jnp.ndarray, goal: jnp.ndarray) -> jnp.ndarray:
+    """Start/goal rows in latent space: ``[C, L]`` (``models/vgpmp.py:75-76``)."""
+    q = jnp.stack([start, goal], axis=0)
+    return joint_sigmoid_inverse(q, model.limits_low, model.limits_high)
+
+
+def _gram(model: PlannerModel, c: dict):
+    Kuu, chol = conditioned.cholesky_kuu(
+        kernel_ops.matern52, model.ny, c["Z"], c["lengthscales"], c["variance"],
+        jitter=model.jitter, solve_dtype=model.solve_dtype,
+    )
+    return Kuu, chol
+
+
+def _kuf(model: PlannerModel, c: dict, X: jnp.ndarray) -> jnp.ndarray:
+    return conditioned.kuf(
+        kernel_ops.matern52, model.ny, c["Z"], X, c["lengthscales"], c["variance"],
+        solve_dtype=model.solve_dtype,
+    )
+
+
+def elbo(
+    params: PlannerParams,
+    model: PlannerModel,
+    start: jnp.ndarray,
+    goal: jnp.ndarray,
+    X: jnp.ndarray,
+    key: jax.Array,
+) -> jnp.ndarray:
+    """Monte-Carlo ELBO (parity: ``models/vgpmp.py:265-289``)."""
+    c = constrain(params)
+    q_lat = query_latent(model, start, goal)
+    Kuu, chol = _gram(model, c)
+    q_mu_full = jnp.concatenate([q_lat, c["q_mu"]], axis=0)
+
+    state = pathwise.draw_paths(
+        key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
+        q_mu_full, c["q_sqrt"], model.num_samples, model.num_bases,
+        jitter=model.jitter,
+    )
+    Kuf = _kuf(model, c, X)
+    f = pathwise.eval_paths(state, Kuf, X)  # [S, N, L]
+    g = joint_sigmoid(f, model.limits_low, model.limits_high)
+
+    lik = model.collision.log_prob(g, c["sigma_obs"])  # [S, N]
+    sd = chol.dtype
+    kl_term = kl.prior_kl(
+        Kuu, chol, c["q_mu"].astype(sd), c["q_sqrt"].astype(sd), q_lat.astype(sd)
+    )
+    return jnp.sum(jnp.mean(lik, axis=0)) * c["alpha"] - kl_term.astype(lik.dtype)
+
+
+def sample_from_posterior(
+    params: PlannerParams,
+    model: PlannerModel,
+    start: jnp.ndarray,
+    goal: jnp.ndarray,
+    Xnew: jnp.ndarray,
+    key: jax.Array,
+    num_samples: int = 150,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Posterior extraction (parity: ``models/vgpmp.py:313-339``).
+
+    Returns (mean trajectory ``[Nnew, L]``, best sample ``[Nnew, L]``,
+    all samples ``[num_samples, Nnew, L]``, per-sample log-prob ``[num_samples]``).
+    Best = argmax of the summed collision log-density over the trajectory.
+    """
+    c = constrain(params)
+    q_lat = query_latent(model, start, goal)
+    Kuu, chol = _gram(model, c)
+    q_mu_full = jnp.concatenate([q_lat, c["q_mu"]], axis=0)
+    Kuf = _kuf(model, c, Xnew)
+
+    sd = chol.dtype
+    mean_lat, _ = posterior.predict_f(
+        chol, Kuf,
+        jnp.broadcast_to(c["variance"].astype(sd)[:, None], Kuf.shape[::2]),
+        q_mu_full.astype(sd), c["q_sqrt"].astype(sd), jitter=model.jitter,
+    )
+    mean_lat = mean_lat.astype(q_lat.dtype)
+    mean = joint_sigmoid(mean_lat, model.limits_low, model.limits_high)
+
+    state = pathwise.draw_paths(
+        key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
+        q_mu_full, c["q_sqrt"], num_samples, model.num_bases, jitter=model.jitter,
+    )
+    f = pathwise.eval_paths(state, Kuf, Xnew)
+    samples = joint_sigmoid(f, model.limits_low, model.limits_high)
+
+    scores = jnp.sum(model.collision.log_prob(samples, c["sigma_obs"]), axis=-1)
+    best = samples[jnp.argmax(scores)]
+    return mean, best, samples, scores

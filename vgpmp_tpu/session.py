@@ -1,0 +1,140 @@
+"""Planning session: wires config -> robot spec -> scene SDF -> planner engine.
+
+The TPU-native counterpart of the reference's orchestration layer
+(``utils/simulation_manager.py:25-157`` + ``utils/parameter_loader.py``):
+where the reference boots a PyBullet client and introspects the world, this
+session loads precomputed artifacts (RobotSpec JSON, scene SDF npz,
+problemset JSON) and assembles the pure-JAX planner model. No simulator is in
+the loop; physics execution is replaced by the geometric validator (an
+optional PyBullet executor lives in ``vgpmp_tpu.sim``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from vgpmp_tpu.engine.solver import TrainConfig
+from vgpmp_tpu.kinematics.dh import FkModel
+from vgpmp_tpu.likelihoods.collision import CollisionModel
+from vgpmp_tpu.models.vgpmp import PlannerModel
+from vgpmp_tpu.robots import ASSET_DIR, RobotSpec, load_robot
+from vgpmp_tpu.sdf.grid import SdfGrid
+
+__all__ = ["PlanningSession", "quat_to_rotmat", "base_pose_matrix"]
+
+
+def quat_to_rotmat(q_xyzw) -> np.ndarray:
+    """Quaternion (x, y, z, w — PyBullet convention) to rotation matrix."""
+    x, y, z, w = (float(v) for v in q_xyzw)
+    n = np.sqrt(x * x + y * y + z * z + w * w)
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def base_pose_matrix(position, orientation_xyzw) -> np.ndarray:
+    T = np.eye(4)
+    T[:3, :3] = quat_to_rotmat(orientation_xyzw)
+    T[:3, 3] = position
+    return T
+
+
+@dataclass
+class PlanningSession:
+    """One robot x environment planning context (benchmark-mode equivalent).
+
+    Asset resolution mirrors the reference's benchmark config path: the
+    per-robot problemset supplies states, the robot base pose, the
+    environment placement and tuned planner hyperparameters
+    (``parameter_loader.py:125-139``).
+    """
+
+    robot_name: str
+    problemset_name: str
+    dtype: Any = jnp.float32
+    sdf_mode: str = "nearest"
+    overrides: Dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.spec: RobotSpec = load_robot(self.robot_name)
+        ps_path = ASSET_DIR / "problemsets" / f"{self.robot_name}.json"
+        problemsets = json.loads(ps_path.read_text())
+        if self.problemset_name not in problemsets:
+            raise KeyError(
+                f"robot {self.robot_name!r} has no problemset "
+                f"{self.problemset_name!r}; available: {sorted(problemsets)}"
+            )
+        ps = problemsets[self.problemset_name]
+        self.states = np.asarray(ps["states"], dtype=np.float64)
+        self.planner_params: Dict[str, Any] = dict(ps["planner_params"])
+        self.planner_params.update(self.overrides)
+
+        self.base_pose = base_pose_matrix(
+            ps["robot_position"], ps["robot_orientation_xyzw"]
+        )
+        self.scene_offset = np.asarray(ps["environment_position"], dtype=np.float64)
+
+        sdf_path = ASSET_DIR / "scenes" / f"{self.problemset_name}.npz"
+        self.sdf = SdfGrid.load(sdf_path, dtype=self.dtype)
+
+        fk = FkModel.from_spec(self.spec, self.base_pose, dtype=self.dtype)
+        collision = CollisionModel(
+            fk=fk,
+            sdf=self.sdf,
+            scene_offset=jnp.asarray(self.scene_offset, dtype=self.dtype),
+            epsilon=jnp.asarray(self.planner_params["epsilon"], dtype=self.dtype),
+            sdf_mode=self.sdf_mode,
+        )
+        import jax
+
+        # f32 sessions use an f64 linalg island when x64 is available (the
+        # conditioned Gram exceeds f32 conditioning headroom; see PlannerModel)
+        solve_dtype = None
+        if self.dtype == jnp.float32 and jax.config.jax_enable_x64:
+            solve_dtype = jnp.float64
+        self.model = PlannerModel(
+            collision=collision,
+            ny=jnp.asarray([0.0, 1.0], dtype=self.dtype),
+            limits_low=jnp.asarray(self.spec.limits_low, dtype=self.dtype),
+            limits_high=jnp.asarray(self.spec.limits_high, dtype=self.dtype),
+            num_samples=int(self.planner_params["num_samples"]),
+            num_bases=int(self.planner_params.get("num_bases", 1024)),
+            num_inducing=int(self.planner_params["num_inducing"]),
+            jitter=float(self.planner_params.get("jitter", 1e-6)),
+            solve_dtype=self.planner_params.get("solve_dtype", solve_dtype),
+        )
+        self.train_config = TrainConfig(
+            num_steps=int(self.planner_params["num_steps"]),
+            learning_rate=float(self.planner_params["learning_rate"]),
+            time_spacing_X=int(self.planner_params["time_spacing_X"]),
+            time_spacing_Xnew=int(self.planner_params["time_spacing_Xnew"]),
+        )
+
+    # ------------------------------------------------------------------
+
+    def queries(self) -> Tuple[np.ndarray, np.ndarray]:
+        """All C(n, 2) start/goal pairs (``parameter_loader.py:138``).
+
+        Returns (starts ``[Q, L]``, goals ``[Q, L]``).
+        """
+        pairs = list(itertools.combinations(range(len(self.states)), 2))
+        starts = self.states[[a for a, _ in pairs]]
+        goals = self.states[[b for _, b in pairs]]
+        return starts, goals
+
+    @property
+    def num_queries(self) -> int:
+        n = len(self.states)
+        return n * (n - 1) // 2
