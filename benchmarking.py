@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark driver — the reference ``benchmarking.py`` equivalent.
+
+Where the reference loops one problem at a time through PyBullet
+(``/root/reference/benchmarking.py:73-91``), this driver solves an entire
+robot x environment problemset as ONE batched XLA program per run and scores
+success with the geometric validator (PyBullet execution optional via
+``vgpmp_tpu.sim`` when available).
+
+Usage:
+    python benchmarking.py --robot franka --problemset industrial
+    python benchmarking.py --all --runs 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+ALL_COMBOS = [
+    ("franka", "industrial"),
+    ("franka", "bookshelves"),
+    ("kuka", "industrial"),
+    ("kuka", "bookshelves"),
+    ("wam", "industrial"),
+    ("wam", "bookshelves"),
+    ("wam", "lab"),
+    ("ur10", "industrial"),
+    ("ur10", "bookshelves"),
+]
+
+
+def run_combo(robot: str, problemset: str, runs: int, sdf_mode: str, seed: int) -> dict:
+    from vgpmp_tpu.engine import solver
+    from vgpmp_tpu.engine.validator import validate_trajectory
+    from vgpmp_tpu.session import PlanningSession
+
+    sess = PlanningSession(robot, problemset, dtype=jnp.float32, sdf_mode=sdf_mode)
+    starts, goals = sess.queries()
+    B = len(starts)
+    sb, gb = jnp.asarray(starts, jnp.float32), jnp.asarray(goals, jnp.float32)
+    params_b = solver.init_batch(sess.model, starts, goals, sess.planner_params)
+    solve_b = solver.make_batch_solver(sess.model, sess.train_config)
+    val = jax.jit(
+        jax.vmap(
+            lambda t, a, b: validate_trajectory(
+                sess.model.collision, t, a, b,
+                sess.model.limits_low, sess.model.limits_high,
+            )
+        )
+    )
+
+    per_run = []
+    times = []
+    failed: list = []
+    for r in range(runs):
+        keys = jax.random.split(jax.random.PRNGKey(seed + r), B)
+        t0 = time.time()
+        _, res = solve_b(params_b, sb, gb, keys)
+        res.best.block_until_ready()
+        times.append(time.time() - t0)
+        reps = val(res.best, sb, gb)
+        succ = np.asarray(reps.success)
+        per_run.append(int(succ.sum()))
+        failed.append(np.nonzero(~succ)[0].tolist())
+
+    avg = float(np.mean(per_run))
+    out = {
+        "robot": robot,
+        "problemset": problemset,
+        "problems": B,
+        "avg_solved": avg,
+        "success_rate": avg / B,
+        "per_run_solved": per_run,
+        "failed_indices_last_run": failed[-1],
+        "steady_batch_seconds": round(min(times[1:]) if len(times) > 1 else times[0], 3),
+        "solves_per_sec": round(B / min(times[1:]) if len(times) > 1 else B / times[0], 2),
+    }
+    print(
+        f"{robot}/{problemset}: average solved {avg:.1f} / {B} "
+        f"({100 * avg / B:.1f}%), batch {out['steady_batch_seconds']}s "
+        f"= {out['solves_per_sec']} solves/s"
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--robot", default="franka")
+    ap.add_argument("--problemset", default="industrial")
+    ap.add_argument("--all", action="store_true", help="run every robot x env combo")
+    ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--sdf-mode", default="nearest", choices=["nearest", "trilinear"])
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args()
+
+    combos = ALL_COMBOS if args.all else [(args.robot, args.problemset)]
+    results = [
+        run_combo(r, p, args.runs, args.sdf_mode, args.seed) for r, p in combos
+    ]
+    total_b = sum(r["problems"] for r in results)
+    total_s = sum(r["avg_solved"] for r in results)
+    print(f"TOTAL: {total_s:.1f} / {total_b} ({100 * total_s / total_b:.1f}%)")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,13 +9,17 @@ enabled so numerics can be compared against the reference's fp64 math.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the image exports JAX_PLATFORMS=axon and the axon plugin re-registers
+# itself even when the env var is overridden — the config update below (after
+# import) is what actually forces CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache keeps the suite fast on repeat runs
 jax.config.update("jax_compilation_cache_dir", "/tmp/vgpmp_tpu_jax_cache")

@@ -76,12 +76,19 @@ def make_single_solver(
     cfg: TrainConfig,
     trainable: Optional[dict] = None,
     keep_samples: int = 0,
+    sample_axis: Optional[str] = None,
 ):
     """Build ``solve(params0, start, goal, key) -> (params, SolveResult)``.
 
     The returned function is pure and jit/vmap/shard-compatible; the Adam loop
     is a ``lax.scan`` over per-step PRNG keys (a fresh RFF/pathwise draw per
     step, matching the reference's per-step ``temporary_paths``).
+
+    ``sample_axis``: mesh axis name when MC samples are sharded across
+    devices (see ``vgpmp_tpu.parallel``); ``model.num_samples`` and
+    ``cfg.num_posterior_samples`` are then per-device counts. Keys are folded
+    with the axis index so shards draw independent samples while sharing the
+    same parameter trajectory (grads are pmean'd inside the ELBO collective).
     """
     trainable = trainable or default_trainable()
     dtype = model.limits_low.dtype
@@ -92,9 +99,11 @@ def make_single_solver(
     def solve(params: planner.PlannerParams, start, goal, key):
         mask = _mask_pytree(params, trainable)
         opt_state = opt.init(params)
+        if sample_axis is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(sample_axis))
 
         def loss_fn(p, k):
-            return -planner.elbo(p, model, start, goal, X, k)
+            return -planner.elbo(p, model, start, goal, X, k, sample_axis=sample_axis)
 
         def step(carry, k):
             p, s = carry
@@ -108,7 +117,8 @@ def make_single_solver(
         (params, _), elbo_hist = jax.lax.scan(step, (params, opt_state), keys[:-1])
 
         mean, best, samples, scores = planner.sample_from_posterior(
-            params, model, start, goal, Xnew, keys[-1], cfg.num_posterior_samples
+            params, model, start, goal, Xnew, keys[-1], cfg.num_posterior_samples,
+            sample_axis=sample_axis,
         )
         result = SolveResult(
             best=best,

@@ -165,8 +165,17 @@ def elbo(
     goal: jnp.ndarray,
     X: jnp.ndarray,
     key: jax.Array,
+    sample_axis: str | None = None,
 ) -> jnp.ndarray:
-    """Monte-Carlo ELBO (parity: ``models/vgpmp.py:265-289``)."""
+    """Monte-Carlo ELBO (parity: ``models/vgpmp.py:265-289``).
+
+    ``sample_axis``: when running under ``shard_map`` with the MC-sample axis
+    sharded across devices, pass the mesh axis name — each device draws
+    ``model.num_samples`` *local* samples (the caller folds the axis index
+    into ``key``) and the sample-mean of the likelihood is psum-averaged over
+    the axis. Gradients of the collective are handled by JAX automatically,
+    so the whole training step stays one SPMD program.
+    """
     c = constrain(params)
     q_lat = query_latent(model, start, goal)
     Kuu, chol = _gram(model, c)
@@ -182,11 +191,14 @@ def elbo(
     g = joint_sigmoid(f, model.limits_low, model.limits_high)
 
     lik = model.collision.log_prob(g, c["sigma_obs"])  # [S, N]
+    lik_mean = jnp.mean(lik, axis=0)
+    if sample_axis is not None:
+        lik_mean = jax.lax.pmean(lik_mean, sample_axis)
     sd = chol.dtype
     kl_term = kl.prior_kl(
         Kuu, chol, c["q_mu"].astype(sd), c["q_sqrt"].astype(sd), q_lat.astype(sd)
     )
-    return jnp.sum(jnp.mean(lik, axis=0)) * c["alpha"] - kl_term.astype(lik.dtype)
+    return jnp.sum(lik_mean) * c["alpha"] - kl_term.astype(lik.dtype)
 
 
 def sample_from_posterior(
@@ -197,12 +209,17 @@ def sample_from_posterior(
     Xnew: jnp.ndarray,
     key: jax.Array,
     num_samples: int = 150,
+    sample_axis: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Posterior extraction (parity: ``models/vgpmp.py:313-339``).
 
     Returns (mean trajectory ``[Nnew, L]``, best sample ``[Nnew, L]``,
     all samples ``[num_samples, Nnew, L]``, per-sample log-prob ``[num_samples]``).
     Best = argmax of the summed collision log-density over the trajectory.
+
+    Under ``sample_axis`` sharding, ``num_samples`` is the per-device count
+    and the best sample is selected globally: per-device argmax, then an
+    all-gather of the (score, trajectory) winners over the axis.
     """
     c = constrain(params)
     q_lat = query_latent(model, start, goal)
@@ -227,5 +244,10 @@ def sample_from_posterior(
     samples = joint_sigmoid(f, model.limits_low, model.limits_high)
 
     scores = jnp.sum(model.collision.log_prob(samples, c["sigma_obs"]), axis=-1)
-    best = samples[jnp.argmax(scores)]
+    local_idx = jnp.argmax(scores)
+    best = samples[local_idx]
+    if sample_axis is not None:
+        best_all = jax.lax.all_gather(best, sample_axis)      # [n_sp, Nnew, L]
+        score_all = jax.lax.all_gather(scores[local_idx], sample_axis)  # [n_sp]
+        best = best_all[jnp.argmax(score_all)]
     return mean, best, samples, scores

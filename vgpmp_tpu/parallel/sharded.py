@@ -1,0 +1,119 @@
+"""Sharded batch solver: problems over ``dp``, MC samples over ``sp``.
+
+One ``shard_map`` wraps the vmapped single-problem solver:
+
+- each ``dp`` row of the mesh owns a contiguous slab of the problem batch
+  (no cross-problem communication at all — planning problems are
+  independent, so scaling over dp is communication-free except metrics);
+- within a row, ``sp`` devices cooperate on one problem's Monte-Carlo
+  estimator: each draws ``S/n_sp`` pathwise samples and the likelihood mean
+  (forward) / gradients (backward) are ``pmean``'d over ICI per step, and the
+  final best-sample selection all-gathers the per-device winners.
+
+Success metrics are aggregated with ``pmean`` over the whole mesh inside the
+same program, so a multi-host run reports global solve rates without host
+round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from vgpmp_tpu.engine import solver as solver_mod
+from vgpmp_tpu.engine.validator import validate_trajectory
+from vgpmp_tpu.models import vgpmp as planner
+from vgpmp_tpu.parallel.mesh import DP_AXIS, SP_AXIS
+
+__all__ = ["make_sharded_solver", "pad_problems"]
+
+
+def pad_problems(
+    starts: np.ndarray, goals: np.ndarray, multiple: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad a problem list to a multiple of the dp-shard count.
+
+    Returns (starts, goals, valid_mask); padded rows repeat problem 0 and are
+    masked out of metrics (per-problem failure isolation — the reference just
+    appends to ``failed_indices``, ``benchmarking.py:88-90``).
+    """
+    q = len(starts)
+    padded = -(-q // multiple) * multiple
+    mask = np.zeros(padded, dtype=bool)
+    mask[:q] = True
+    pad = padded - q
+    starts = np.concatenate([starts, np.repeat(starts[:1], pad, 0)], axis=0)
+    goals = np.concatenate([goals, np.repeat(goals[:1], pad, 0)], axis=0)
+    return starts, goals, mask
+
+
+def make_sharded_solver(
+    model: planner.PlannerModel,
+    cfg: solver_mod.TrainConfig,
+    mesh,
+    trainable: Optional[dict] = None,
+    validate: bool = True,
+):
+    """Build the mesh-sharded batch solver.
+
+    Returns ``solve(params_b, starts, goals, keys, mask)`` where every array
+    has leading problem axis B (divisible by the dp size; use
+    :func:`pad_problems`). Per-device MC sample counts are
+    ``model.num_samples`` (so the *effective* sample budget is
+    ``num_samples * sp``). Output: (results stacked over B, metrics dict of
+    mesh-global scalars).
+    """
+    n_sp = mesh.shape[SP_AXIS]
+    sample_axis = SP_AXIS if n_sp > 1 else None
+    single = solver_mod.make_single_solver(
+        model, cfg, trainable, sample_axis=sample_axis
+    )
+
+    def local_batch(params_b, starts_b, goals_b, keys_b, mask_b):
+        _, res = jax.vmap(single)(params_b, starts_b, goals_b, keys_b)
+        if validate:
+            reps = jax.vmap(
+                lambda t, a, b: validate_trajectory(
+                    model.collision, t, a, b, model.limits_low, model.limits_high
+                )
+            )(res.best, starts_b, goals_b)
+            w = mask_b.astype(res.best.dtype)
+            denom = jax.lax.psum(jnp.sum(w), DP_AXIS)
+            solved = jax.lax.psum(jnp.sum(reps.success * w), DP_AXIS)
+            metrics = {
+                "success_rate": solved / denom,
+                "num_problems": denom,
+                "mean_min_clearance": jax.lax.psum(
+                    jnp.sum(reps.min_clearance * w), DP_AXIS
+                )
+                / denom,
+                "success": reps.success,
+                "min_clearance": reps.min_clearance,
+            }
+        else:
+            metrics = {}
+        return res, metrics
+
+    in_spec = (P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS))
+    out_spec = (
+        P(DP_AXIS),
+        {
+            "success_rate": P(),
+            "num_problems": P(),
+            "mean_min_clearance": P(),
+            "success": P(DP_AXIS),
+            "min_clearance": P(DP_AXIS),
+        }
+        if validate
+        else {},
+    )
+    sharded = shard_map(
+        local_batch, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
+        check_rep=False,
+    )
+    return jax.jit(sharded)

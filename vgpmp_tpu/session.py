@@ -66,17 +66,50 @@ class PlanningSession:
     dtype: Any = jnp.float32
     sdf_mode: str = "nearest"
     overrides: Dict[str, Any] = field(default_factory=dict)
+    # non-benchmark mode (reference ``non_benchmark_attributes``): supply
+    # explicit states/pose/params and a scene name instead of a problemset
+    explicit: Optional[Dict[str, Any]] = None
+
+    @classmethod
+    def from_config(cls, path, dtype: Any = jnp.float32, sdf_mode: str = "nearest"):
+        """Build a session from a reference-schema ``parameters.yaml``."""
+        from vgpmp_tpu.config import load_parameters_yaml
+
+        cfg = load_parameters_yaml(path)
+        if cfg.benchmark:
+            sess = cls(cfg.robot_name, cfg.problemset_name, dtype=dtype, sdf_mode=sdf_mode)
+        else:
+            pos, orn = cfg.robot_pos_and_orn or ([0, 0, 0], [0, 0, 0, 1])
+            sess = cls(
+                cfg.robot_name,
+                cfg.environment_name,
+                dtype=dtype,
+                sdf_mode=sdf_mode,
+                explicit=dict(
+                    states=cfg.states,
+                    robot_position=pos,
+                    robot_orientation_xyzw=orn,
+                    environment_position=cfg.scene_position,
+                    planner_params=cfg.planner_params,
+                ),
+            )
+        sess.trainable = cfg.trainable_mask()
+        return sess
 
     def __post_init__(self):
+        self.trainable = None  # default benchmark mask unless from_config sets it
         self.spec: RobotSpec = load_robot(self.robot_name)
-        ps_path = ASSET_DIR / "problemsets" / f"{self.robot_name}.json"
-        problemsets = json.loads(ps_path.read_text())
-        if self.problemset_name not in problemsets:
-            raise KeyError(
-                f"robot {self.robot_name!r} has no problemset "
-                f"{self.problemset_name!r}; available: {sorted(problemsets)}"
-            )
-        ps = problemsets[self.problemset_name]
+        if self.explicit is not None:
+            ps = self.explicit
+        else:
+            ps_path = ASSET_DIR / "problemsets" / f"{self.robot_name}.json"
+            problemsets = json.loads(ps_path.read_text())
+            if self.problemset_name not in problemsets:
+                raise KeyError(
+                    f"robot {self.robot_name!r} has no problemset "
+                    f"{self.problemset_name!r}; available: {sorted(problemsets)}"
+                )
+            ps = problemsets[self.problemset_name]
         self.states = np.asarray(ps["states"], dtype=np.float64)
         self.planner_params: Dict[str, Any] = dict(ps["planner_params"])
         self.planner_params.update(self.overrides)

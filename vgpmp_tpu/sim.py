@@ -1,0 +1,112 @@
+"""Optional PyBullet physics executor — exact parity with the reference's
+physical success metric.
+
+The reference counts a problem solved when a PD position controller reaches
+every trajectory waypoint within 0.05 rad, 2000 sim steps per waypoint
+(``utils/robot.py:416-480``). This module reproduces that executor for
+environments where ``pybullet`` is installed (it is NOT part of the TPU
+compute path and NOT required by anything else in this package — CI uses the
+geometric validator in ``engine/validator.py``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import pybullet as p
+
+    HAVE_PYBULLET = True
+except Exception:  # pragma: no cover - image has no pybullet
+    p = None
+    HAVE_PYBULLET = False
+
+__all__ = ["HAVE_PYBULLET", "PhysicsExecutor"]
+
+
+class PhysicsExecutor:
+    """Headless DIRECT-mode executor for trajectory parity checks.
+
+    Semantics mirror the reference controller: per-waypoint position control
+    with kp=500, max velocity 0.5, convergence when every joint is within
+    ``tol`` (0.05 rad), failure after ``max_iters`` (2000) sim steps
+    (``robot.py:416-453``).
+    """
+
+    def __init__(
+        self,
+        robot_urdf: str | Path,
+        active_joint_names: Sequence[str],
+        environment_urdf: Optional[str | Path] = None,
+        environment_position: Sequence[float] = (0.0, 0.0, 0.0),
+        robot_position: Sequence[float] = (0.0, 0.0, 0.0),
+        robot_orientation_xyzw: Sequence[float] = (0.0, 0.0, 0.0, 1.0),
+        gravity: float = -9.81,
+    ):
+        if not HAVE_PYBULLET:
+            raise RuntimeError(
+                "pybullet is not installed; use engine.validator for the "
+                "simulator-free success metric"
+            )
+        self.client = p.connect(p.DIRECT)
+        p.setGravity(0, 0, gravity, physicsClientId=self.client)
+        self.robot_id = p.loadURDF(
+            str(robot_urdf),
+            basePosition=list(robot_position),
+            baseOrientation=list(robot_orientation_xyzw),
+            useFixedBase=1,
+            physicsClientId=self.client,
+        )
+        self.env_id = None
+        if environment_urdf is not None:
+            self.env_id = p.loadURDF(
+                str(environment_urdf),
+                basePosition=list(environment_position),
+                useFixedBase=1,
+                physicsClientId=self.client,
+            )
+        name_to_idx = {}
+        for j in range(p.getNumJoints(self.robot_id, physicsClientId=self.client)):
+            info = p.getJointInfo(self.robot_id, j, physicsClientId=self.client)
+            name_to_idx[info[1].decode()] = j
+        self.joint_indices: List[int] = [name_to_idx[n] for n in active_joint_names]
+
+    def close(self) -> None:
+        p.disconnect(self.client)
+
+    def reset_config(self, q: np.ndarray) -> None:
+        for idx, val in zip(self.joint_indices, np.asarray(q).ravel()):
+            p.resetJointState(self.robot_id, idx, float(val), physicsClientId=self.client)
+
+    def current_config(self) -> np.ndarray:
+        return np.array(
+            [
+                p.getJointState(self.robot_id, idx, physicsClientId=self.client)[0]
+                for idx in self.joint_indices
+            ]
+        )
+
+    def move_to(self, target: np.ndarray, tol: float = 0.05, max_iters: int = 2000,
+                kp: float = 500.0, kv: float = 0.5) -> bool:
+        target = np.asarray(target).ravel()
+        for _ in range(max_iters):
+            if np.max(np.abs(target - self.current_config())) <= tol:
+                return True
+            for i, idx in enumerate(self.joint_indices):
+                p.setJointMotorControl2(
+                    self.robot_id, idx, controlMode=p.POSITION_CONTROL,
+                    targetPosition=float(target[i]), force=kp, maxVelocity=kv,
+                    physicsClientId=self.client,
+                )
+            p.stepSimulation(physicsClientId=self.client)
+        return False
+
+    def execute_trajectory(self, trajectory: np.ndarray) -> bool:
+        """True iff every waypoint is physically reached (reference metric)."""
+        for waypoint in np.asarray(trajectory):
+            if not self.move_to(waypoint):
+                return False
+        return True
