@@ -63,9 +63,24 @@ def whitened_scale(chol_kuu: jnp.ndarray, q_sqrt: jnp.ndarray, jitter: float = 1
     return chol_kuu @ pad + jitter_pad
 
 
-def _rff_features(x: jnp.ndarray, omega: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
-    """cos features: ``x [L, A], omega/phase [L, B] -> [L, A, B]`` (unscaled)."""
-    return jnp.cos(x[..., :, None] * omega[..., None, :] + phase[..., None, :])
+def _rff_features(
+    x: jnp.ndarray,
+    omega: jnp.ndarray,
+    phase: jnp.ndarray,
+    deriv_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """cos features: ``x [L, A], omega/phase [L, B] -> [L, A, B]`` (unscaled).
+
+    Rows flagged by ``deriv_mask [A]`` are *derivative observations* — their
+    feature is ``d/dx cos(omega x + b) = -omega sin(omega x + b)`` (used by
+    the velocity-constrained inducing variant, ``gp/velocity.py``).
+    """
+    arg = x[..., :, None] * omega[..., None, :] + phase[..., None, :]
+    cos = jnp.cos(arg)
+    if deriv_mask is None:
+        return cos
+    dcos = -omega[..., None, :] * jnp.sin(arg)
+    return jnp.where(deriv_mask[None, :, None], dcos, cos)
 
 
 def draw_paths(
@@ -81,6 +96,7 @@ def draw_paths(
     num_bases: int,
     df: float = 5.0,
     jitter: float = 1e-6,
+    deriv_mask: jnp.ndarray | None = None,
 ) -> PathState:
     """Draw S function samples (reference ``temporary_paths``).
 
@@ -90,6 +106,10 @@ def draw_paths(
         chol_kuu: ``[L, Mc, Mc]`` Cholesky of the conditioned Gram.
         q_mu_full: ``[Mc, L]`` mean with query-state rows in front.
         q_sqrt: ``[L, M, M]`` free lower-triangular factors.
+        deriv_mask: optional ``[Mc]`` bool — rows of the (extended) inducing
+            set that are derivative observations (velocity conditioning); the
+            inducing inputs are then ``[ny; ny; Z]`` with the first C rows
+            flagged, matching ``gp/velocity.py``'s Gram layout.
     """
     L = Z.shape[-1]
     Mc = chol_kuu.shape[-1]
@@ -107,7 +127,11 @@ def draw_paths(
     rff_scale = jnp.sqrt(2.0 * variance[:, None] / num_bases).astype(bulk)
 
     # prior paths at the inducing inputs: [S, L, Mc]
-    phi_z = _rff_features(zy_fn(ny, Z).astype(bulk), omega, phase) * rff_scale[..., None]
+    zy_ = zy_fn(ny, Z).astype(bulk)
+    if deriv_mask is not None:
+        ny_b = jnp.broadcast_to(ny.astype(bulk), (L, ny.shape[0]))
+        zy_ = jnp.concatenate([ny_b, zy_], axis=-1)  # [L, C + (C+M)]
+    phi_z = _rff_features(zy_, omega, phase, deriv_mask) * rff_scale[..., None]
     f_prior_z = jnp.einsum("lmb,slb->slm", phi_z, w).astype(solve)
 
     # u ~ N(q_mu_full, Λ Λᵀ): [S, L, Mc]

@@ -24,7 +24,7 @@ from flax import struct
 
 from vgpmp_tpu.kinematics.dh import FkModel, sphere_positions
 from vgpmp_tpu.ops.transforms import sigmoid_box, sigmoid_box_inverse
-from vgpmp_tpu.sdf.grid import SdfGrid, nearest_distance, trilinear_distance
+from vgpmp_tpu.scene import Scene
 
 __all__ = ["CollisionModel", "joint_sigmoid", "joint_sigmoid_inverse"]
 
@@ -40,23 +40,21 @@ def joint_sigmoid_inverse(q: jnp.ndarray, low: jnp.ndarray, high: jnp.ndarray) -
 
 @struct.dataclass
 class CollisionModel:
-    """Static collision-likelihood data for one (robot, scene) pair."""
+    """Static collision-likelihood data for one (robot, scene) pair.
+
+    ``scene`` is a composed SDF (environment grid + optional objects /
+    primitives, ``vgpmp_tpu.scene.Scene``) — the reference's Scene/BaseObject
+    layer folded into the distance query.
+    """
 
     fk: FkModel
-    sdf: SdfGrid
-    scene_offset: jnp.ndarray  # [3] world position of the scene mesh frame
+    scene: Scene
     epsilon: jnp.ndarray       # [] hinge safety margin
-    sdf_mode: str = struct.field(pytree_node=False, default="nearest")
 
     def sphere_clearance(self, configs: jnp.ndarray) -> jnp.ndarray:
         """``[..., L] -> [..., P]`` signed clearance (sdf - radius) per sphere."""
         pos = sphere_positions(self.fk, configs)  # [..., P, 3]
-        rel = pos - self.scene_offset
-        if self.sdf_mode == "trilinear":
-            d = trilinear_distance(self.sdf, rel)
-        else:
-            d = nearest_distance(self.sdf, rel)
-        return d - self.fk.sphere_radii
+        return self.scene.distance(pos) - self.fk.sphere_radii
 
     def hinge_cost(self, configs: jnp.ndarray) -> jnp.ndarray:
         """``max(epsilon - clearance, 0)`` per sphere (``likelihood.py:132-143``)."""

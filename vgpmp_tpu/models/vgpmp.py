@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from vgpmp_tpu.gp import conditioned, kl, pathwise, posterior
+from vgpmp_tpu.gp import conditioned, kl, pathwise, posterior, velocity
 from vgpmp_tpu.likelihoods.collision import (
     CollisionModel,
     joint_sigmoid,
@@ -75,6 +75,12 @@ class PlannerModel:
     # condition number (1e7-1e9 at benchmark lengthscales) exceeds f32
     # headroom and the Cholesky NaNs out. None -> use the bulk dtype.
     solve_dtype: object = struct.field(pytree_node=False, default=None)
+    # clamp endpoint velocities (first-derivative conditioning) in addition
+    # to positions — the reference's partially-wired
+    # FirstOrderDerivativeInducingPoints variant, completed (gp/velocity.py).
+    # Endpoint velocities are fixed to zero (the reference initializes them
+    # to ~N(1e-5, 1e-5), i.e. effectively zero; models/vgpmp.py:72-73).
+    velocity_constrained: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_latent(self) -> int:
@@ -144,6 +150,12 @@ def query_latent(model: PlannerModel, start: jnp.ndarray, goal: jnp.ndarray) -> 
 
 
 def _gram(model: PlannerModel, c: dict):
+    if model.velocity_constrained:
+        Kuu = velocity.kuu_velocity(
+            model.ny, c["Z"], c["lengthscales"], c["variance"],
+            jitter=model.jitter, solve_dtype=model.solve_dtype,
+        )
+        return Kuu, jnp.linalg.cholesky(Kuu)
     Kuu, chol = conditioned.cholesky_kuu(
         kernel_ops.matern52, model.ny, c["Z"], c["lengthscales"], c["variance"],
         jitter=model.jitter, solve_dtype=model.solve_dtype,
@@ -152,10 +164,28 @@ def _gram(model: PlannerModel, c: dict):
 
 
 def _kuf(model: PlannerModel, c: dict, X: jnp.ndarray) -> jnp.ndarray:
+    if model.velocity_constrained:
+        return velocity.kuf_velocity(
+            model.ny, c["Z"], X, c["lengthscales"], c["variance"],
+            solve_dtype=model.solve_dtype,
+        )
     return conditioned.kuf(
         kernel_ops.matern52, model.ny, c["Z"], X, c["lengthscales"], c["variance"],
         solve_dtype=model.solve_dtype,
     )
+
+
+def _q_mu_full(model: PlannerModel, c: dict, q_lat: jnp.ndarray) -> jnp.ndarray:
+    if model.velocity_constrained:
+        zeros_vel = jnp.zeros_like(q_lat)
+        return velocity.extend_q_mu(zeros_vel, q_lat, c["q_mu"])
+    return jnp.concatenate([q_lat, c["q_mu"]], axis=0)
+
+
+def _deriv_mask(model: PlannerModel):
+    if model.velocity_constrained:
+        return velocity.deriv_mask(model.ny.shape[0], model.num_inducing)
+    return None
 
 
 def elbo(
@@ -179,12 +209,12 @@ def elbo(
     c = constrain(params)
     q_lat = query_latent(model, start, goal)
     Kuu, chol = _gram(model, c)
-    q_mu_full = jnp.concatenate([q_lat, c["q_mu"]], axis=0)
+    q_mu_full = _q_mu_full(model, c, q_lat)
 
     state = pathwise.draw_paths(
         key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
         q_mu_full, c["q_sqrt"], model.num_samples, model.num_bases,
-        jitter=model.jitter,
+        jitter=model.jitter, deriv_mask=_deriv_mask(model),
     )
     Kuf = _kuf(model, c, X)
     f = pathwise.eval_paths(state, Kuf, X)  # [S, N, L]
@@ -195,8 +225,12 @@ def elbo(
     if sample_axis is not None:
         lik_mean = jax.lax.pmean(lik_mean, sample_axis)
     sd = chol.dtype
+    # the KL's "fixed rows" are all clamped rows: [velocities;] query states
+    n_free = c["q_mu"].shape[0]
+    fixed_rows = q_mu_full[: q_mu_full.shape[0] - n_free]
     kl_term = kl.prior_kl(
-        Kuu, chol, c["q_mu"].astype(sd), c["q_sqrt"].astype(sd), q_lat.astype(sd)
+        Kuu, chol, c["q_mu"].astype(sd), c["q_sqrt"].astype(sd),
+        fixed_rows.astype(sd),
     )
     return jnp.sum(lik_mean) * c["alpha"] - kl_term.astype(lik.dtype)
 
@@ -224,7 +258,7 @@ def sample_from_posterior(
     c = constrain(params)
     q_lat = query_latent(model, start, goal)
     Kuu, chol = _gram(model, c)
-    q_mu_full = jnp.concatenate([q_lat, c["q_mu"]], axis=0)
+    q_mu_full = _q_mu_full(model, c, q_lat)
     Kuf = _kuf(model, c, Xnew)
 
     sd = chol.dtype
@@ -239,11 +273,19 @@ def sample_from_posterior(
     state = pathwise.draw_paths(
         key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
         q_mu_full, c["q_sqrt"], num_samples, model.num_bases, jitter=model.jitter,
+        deriv_mask=_deriv_mask(model),
     )
     f = pathwise.eval_paths(state, Kuf, Xnew)
     samples = joint_sigmoid(f, model.limits_low, model.limits_high)
 
-    scores = jnp.sum(model.collision.log_prob(samples, c["sigma_obs"]), axis=-1)
+    # score samples in chunks: materializing FK sphere positions for all
+    # S x Nnew x P at once is O(GB) when the engine vmaps many problems
+    # (observed: 55-problem batch OOM'd 16G HBM); lax.map bounds the live set
+    scores = jax.lax.map(
+        lambda s: jnp.sum(model.collision.log_prob(s, c["sigma_obs"])),
+        samples,
+        batch_size=16,
+    )
     local_idx = jnp.argmax(scores)
     best = samples[local_idx]
     if sample_axis is not None:

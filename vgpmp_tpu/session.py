@@ -25,6 +25,7 @@ from vgpmp_tpu.kinematics.dh import FkModel
 from vgpmp_tpu.likelihoods.collision import CollisionModel
 from vgpmp_tpu.models.vgpmp import PlannerModel
 from vgpmp_tpu.robots import ASSET_DIR, RobotSpec, load_robot
+from vgpmp_tpu.scene import Scene
 from vgpmp_tpu.sdf.grid import SdfGrid
 
 __all__ = ["PlanningSession", "quat_to_rotmat", "base_pose_matrix"]
@@ -69,6 +70,11 @@ class PlanningSession:
     # non-benchmark mode (reference ``non_benchmark_attributes``): supply
     # explicit states/pose/params and a scene name instead of a problemset
     explicit: Optional[Dict[str, Any]] = None
+    # extra scene content (reference Scene.add_object equivalent): voxel
+    # grids with world offsets and/or analytic primitives
+    extra_grids: Optional[Tuple] = None
+    extra_offsets: Optional[Any] = None
+    primitives: Optional[Any] = None
 
     @classmethod
     def from_config(cls, path, dtype: Any = jnp.float32, sdf_mode: str = "nearest"):
@@ -123,12 +129,22 @@ class PlanningSession:
         self.sdf = SdfGrid.load(sdf_path, dtype=self.dtype)
 
         fk = FkModel.from_spec(self.spec, self.base_pose, dtype=self.dtype)
+        self.scene = Scene(
+            base=self.sdf,
+            base_offset=jnp.asarray(self.scene_offset, dtype=self.dtype),
+            extra_grids=tuple(self.extra_grids or ()),
+            extra_offsets=(
+                jnp.asarray(self.extra_offsets, dtype=self.dtype)
+                if self.extra_offsets is not None
+                else None
+            ),
+            primitives=self.primitives,
+            mode=self.sdf_mode,
+        )
         collision = CollisionModel(
             fk=fk,
-            sdf=self.sdf,
-            scene_offset=jnp.asarray(self.scene_offset, dtype=self.dtype),
+            scene=self.scene,
             epsilon=jnp.asarray(self.planner_params["epsilon"], dtype=self.dtype),
-            sdf_mode=self.sdf_mode,
         )
         import jax
 
