@@ -1,0 +1,101 @@
+"""Receding-horizon replanning with warm-started variational state.
+
+The reference solves each (start, goal) once, open loop — every problem
+re-initializes a fresh model (``utils/miscellaneous.py:162-169``). This module
+provides the closed-loop engine the north star asks for: after executing a
+prefix of the current best trajectory, re-solve from the *reached* state with
+the previous variational state as a warm start (typically at a much smaller
+step budget), batched over problems.
+
+Warm start: keep (q_mu, q_sqrt, hyperparameters) and only move the clamped
+start row — the conditioned-inducing structure makes the start a *constant*
+of the model, not a parameter, so warm starting is just re-solving with the
+same ``PlannerParams`` and a new ``start`` argument. The time grid is always
+the unit interval, so the shortened remaining horizon just compresses real
+time onto [0, 1] (same as the reference's normalized-time convention).
+
+Each replan cycle is one jitted call; execution here is kinematic
+(follow-the-trajectory); swap in ``sim.PhysicsExecutor`` for physical rollout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vgpmp_tpu.engine import solver as solver_mod
+from vgpmp_tpu.models import vgpmp as planner
+
+__all__ = ["ReplanResult", "make_replanner", "run_receding_horizon"]
+
+
+class ReplanResult(NamedTuple):
+    executed: jnp.ndarray       # [B, cycles * advance + 1, L] stitched path
+    reached_goal: jnp.ndarray   # [B] bool, final config within tol of goal
+    final_error: jnp.ndarray    # [B] max-joint error to goal at the end
+    elbo_last: jnp.ndarray      # [B, cycles] final ELBO of each cycle
+
+
+def make_replanner(
+    model: planner.PlannerModel,
+    cfg: solver_mod.TrainConfig,
+    trainable: Optional[dict] = None,
+):
+    """Build ``replan_cycle(params_b, current_b, goals_b, keys_b)``.
+
+    One cycle = warm-started re-solve (cfg.num_steps — use a small budget,
+    e.g. 20-40) returning updated params and the new best trajectories.
+    """
+    solve = solver_mod.make_single_solver(model, cfg, trainable)
+    return jax.jit(jax.vmap(solve))
+
+
+def run_receding_horizon(
+    model: planner.PlannerModel,
+    full_cfg: solver_mod.TrainConfig,
+    replan_cfg: solver_mod.TrainConfig,
+    params_b,
+    starts: jnp.ndarray,
+    goals: jnp.ndarray,
+    key: jax.Array,
+    cycles: int = 5,
+    advance: int = 20,
+    goal_tol: float = 0.05,
+):
+    """Closed-loop plan/execute/replan over a problem batch.
+
+    Cycle 0 runs the full budget (``full_cfg``); subsequent cycles run the
+    cheap warm-started ``replan_cfg`` from the config reached after executing
+    ``advance`` waypoints of the current plan.
+    """
+    B = starts.shape[0]
+    first = jax.jit(jax.vmap(solver_mod.make_single_solver(model, full_cfg)))
+    later = make_replanner(model, replan_cfg)
+
+    current = starts
+    executed = [np.asarray(current)[:, None, :]]
+    elbos = []
+    k = key
+    params = params_b
+    for c in range(cycles):
+        k, sub = jax.random.split(k)
+        keys = jax.random.split(sub, B)
+        params, res = (first if c == 0 else later)(params, current, goals, keys)
+        elbos.append(np.asarray(res.elbo_history[:, -1]))
+        # "execute" the first `advance` waypoints of each best plan; the final
+        # cycle executes its whole remaining plan (reaching the clamped goal)
+        upto = res.best.shape[1] if c == cycles - 1 else advance + 1
+        steps = np.asarray(res.best[:, 1:upto, :])
+        executed.append(steps)
+        current = jnp.asarray(steps[:, -1, :])
+    path = np.concatenate(executed, axis=1)
+    err = jnp.max(jnp.abs(current - goals), axis=-1)
+    return ReplanResult(
+        executed=jnp.asarray(path),
+        reached_goal=err <= goal_tol,
+        final_error=err,
+        elbo_last=jnp.asarray(np.stack(elbos, axis=1)),
+    )

@@ -38,6 +38,9 @@ class TrainConfig:
     time_spacing_X: int = struct.field(pytree_node=False, default=70)
     time_spacing_Xnew: int = struct.field(pytree_node=False, default=150)
     num_posterior_samples: int = struct.field(pytree_node=False, default=150)
+    # 0: record ELBO only; 1: also per-step KL / expected log-lik /
+    # min clearance / mean hinge (one extra clearance reduction per step)
+    log_level: int = struct.field(pytree_node=False, default=0)
 
 
 def default_trainable() -> dict:
@@ -69,6 +72,7 @@ class SolveResult(NamedTuple):
     best_score: jnp.ndarray   # [] collision log-density of the best sample
     elbo_history: jnp.ndarray  # [num_steps]
     samples: Optional[jnp.ndarray] = None  # [K, Nnew, L] first samples
+    logs: Optional[dict] = None  # per-step metrics when cfg.log_level >= 1
 
 
 def make_single_solver(
@@ -102,19 +106,30 @@ def make_single_solver(
         if sample_axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(sample_axis))
 
-        def loss_fn(p, k):
-            return -planner.elbo(p, model, start, goal, X, k, sample_axis=sample_axis)
+        if cfg.log_level >= 1:
+            def loss_fn(p, k):
+                value, aux = planner.elbo_with_aux(
+                    p, model, start, goal, X, k, sample_axis=sample_axis
+                )
+                return -value, aux
+        else:
+            def loss_fn(p, k):
+                return (
+                    -planner.elbo(p, model, start, goal, X, k, sample_axis=sample_axis),
+                    {},
+                )
 
         def step(carry, k):
             p, s = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, k)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, k)
             grads = jax.tree.map(lambda g, m: g * m, grads, mask)
             updates, s = opt.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-            return (p, s), -loss
+            return (p, s), {"elbo": -loss, **aux}
 
         keys = jax.random.split(key, cfg.num_steps + 1)
-        (params, _), elbo_hist = jax.lax.scan(step, (params, opt_state), keys[:-1])
+        (params, _), logs = jax.lax.scan(step, (params, opt_state), keys[:-1])
+        elbo_hist = logs.pop("elbo")
 
         mean, best, samples, scores = planner.sample_from_posterior(
             params, model, start, goal, Xnew, keys[-1], cfg.num_posterior_samples,
@@ -126,6 +141,7 @@ def make_single_solver(
             best_score=jnp.max(scores),
             elbo_history=elbo_hist,
             samples=samples[:keep_samples] if keep_samples else None,
+            logs=logs if cfg.log_level >= 1 else None,
         )
         return params, result
 

@@ -90,7 +90,23 @@ def kuf(
     return kernel(zy(ny, Z), Xb, lengthscales, variance)
 
 
-def cholesky_kuu(*args, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Convenience: (Kuu, chol(Kuu)) — both ``[L, Mc, Mc]``."""
+def cholesky_kuu(*args, escalations: int = 0, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience: (Kuu, chol(Kuu)) — both ``[L, Mc, Mc]``.
+
+    ``escalations``: Cholesky-failure sanitizer — if the factorization
+    produces non-finite values, retry with 10x (then 100x, ...) jitter, as a
+    compiled ``where``-select chain (each retry is one extra tiny batched
+    Cholesky; no host round-trip). The reference has no equivalent guard —
+    a failed Cholesky NaNs its whole step silently.
+    """
     K = kuu(*args, **kwargs)
-    return K, jnp.linalg.cholesky(K)
+    chol = jnp.linalg.cholesky(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    jitter = kwargs.get("jitter", 1e-6)
+    for e in range(escalations):
+        bad = ~jnp.all(jnp.isfinite(chol), axis=(-2, -1), keepdims=True)  # [L,1,1]
+        K_retry = K + (10.0 ** (e + 1)) * jitter * eye
+        chol_retry = jnp.linalg.cholesky(K_retry)
+        chol = jnp.where(bad, chol_retry, chol)
+        K = jnp.where(bad, K_retry, K)
+    return K, chol

@@ -81,6 +81,9 @@ class PlannerModel:
     # Endpoint velocities are fixed to zero (the reference initializes them
     # to ~N(1e-5, 1e-5), i.e. effectively zero; models/vgpmp.py:72-73).
     velocity_constrained: bool = struct.field(pytree_node=False, default=False)
+    # Cholesky-failure sanitizer: number of 10x-jitter escalation retries
+    # compiled into the Gram factorization (see gp/conditioned.cholesky_kuu)
+    jitter_escalations: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_latent(self) -> int:
@@ -159,6 +162,7 @@ def _gram(model: PlannerModel, c: dict):
     Kuu, chol = conditioned.cholesky_kuu(
         kernel_ops.matern52, model.ny, c["Z"], c["lengthscales"], c["variance"],
         jitter=model.jitter, solve_dtype=model.solve_dtype,
+        escalations=model.jitter_escalations,
     )
     return Kuu, chol
 
@@ -233,6 +237,56 @@ def elbo(
         fixed_rows.astype(sd),
     )
     return jnp.sum(lik_mean) * c["alpha"] - kl_term.astype(lik.dtype)
+
+
+def elbo_with_aux(
+    params: PlannerParams,
+    model: PlannerModel,
+    start: jnp.ndarray,
+    goal: jnp.ndarray,
+    X: jnp.ndarray,
+    key: jax.Array,
+    sample_axis: str | None = None,
+):
+    """ELBO plus structured per-step metrics (KL, likelihood, min clearance).
+
+    Costs one extra clearance reduction vs :func:`elbo`; used by the solver's
+    ``log_level >= 1`` mode for observability (the reference exposes only the
+    scalar ELBO via tqdm; ``miscellaneous.py:99-103``).
+    """
+    c = constrain(params)
+    q_lat = query_latent(model, start, goal)
+    Kuu, chol = _gram(model, c)
+    q_mu_full = _q_mu_full(model, c, q_lat)
+    state = pathwise.draw_paths(
+        key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
+        q_mu_full, c["q_sqrt"], model.num_samples, model.num_bases,
+        jitter=model.jitter, deriv_mask=_deriv_mask(model),
+    )
+    Kuf = _kuf(model, c, X)
+    f = pathwise.eval_paths(state, Kuf, X)
+    g = joint_sigmoid(f, model.limits_low, model.limits_high)
+    clearance = model.collision.sphere_clearance(g)  # [S, N, P]
+    cost = jnp.maximum(model.collision.epsilon - clearance, 0.0)
+    lik = -0.5 * jnp.sum(cost * cost / c["sigma_obs"], axis=-1)
+    lik_mean = jnp.mean(lik, axis=0)
+    if sample_axis is not None:
+        lik_mean = jax.lax.pmean(lik_mean, sample_axis)
+    sd = chol.dtype
+    n_free = c["q_mu"].shape[0]
+    fixed_rows = q_mu_full[: q_mu_full.shape[0] - n_free]
+    kl_term = kl.prior_kl(
+        Kuu, chol, c["q_mu"].astype(sd), c["q_sqrt"].astype(sd), fixed_rows.astype(sd)
+    )
+    lik_total = jnp.sum(lik_mean)
+    value = lik_total * c["alpha"] - kl_term.astype(lik.dtype)
+    aux = {
+        "kl": kl_term.astype(lik.dtype),
+        "expected_log_lik": lik_total,
+        "min_clearance": jnp.min(clearance),
+        "mean_hinge_cost": jnp.mean(cost),
+    }
+    return value, aux
 
 
 def sample_from_posterior(
