@@ -205,10 +205,46 @@ def test_paths_clamp_query_states(rng, hypers, inducing):
     )
     Kuf = conditioned.kuf(K.matern52, ny, Z, ny, ls, s2)
     f_ends = pathwise.eval_paths(state, Kuf, ny)  # [S, 2, L]
-    err = np.abs(np.asarray(f_ends) - np.asarray(query)[None])
-    # clamping is exact up to jitter * ||Kuu^{-1}(u - f_prior(Z))||; with
-    # long lengthscales over [0,1] the conditioned Gram is ill-conditioned
-    # (lambda_min ~ 1e-6), so a few-milliradian latent softness is inherent —
-    # the reference has identical structure (jitter 1e-6, fp64).
-    assert err.max() < 2e-2, f"max clamp error {err.max()}"
-    assert err.mean() < 8e-3, f"mean clamp error {err.mean()}"
+    err = np.asarray(f_ends) - np.asarray(query)[None]
+    # Clamping softness is EXACTLY -jitter * v at the conditioned rows:
+    # f(ny_i) = f_prior + (row_i(Kuu) - jitter e_i)^T v = u_i - jitter v_i,
+    # and u_i = query_i (+O(jitter) sampling noise). The magnitude depends on
+    # the Gram conditioning (the reference shares this structure at the same
+    # jitter); the invariant to test is the identity itself.
+    v = np.asarray(state.v)  # [S, L, Mc]
+    predicted = -JITTER * np.transpose(v[..., :C], (0, 2, 1))  # [S, C, L]
+    np.testing.assert_allclose(err, predicted, atol=5e-5)
+    # and the softness stays below jitter * ||v||_inf (sanity bound)
+    assert np.abs(err).max() <= JITTER * np.abs(v).max() * 1.01 + 1e-4
+
+
+def test_se_kernel_rff_covariance(inducing):
+    """SE spectral sampling (Gaussian frequencies) reproduces the SE Gram."""
+    ls = jnp.asarray([0.7, 1.3, 2.0])
+    s2 = jnp.asarray([0.5, 0.9, 0.4])
+    ny, Z = inducing
+    Kuu, chol = conditioned.cholesky_kuu(K.squared_exponential, ny, Z, ls, s2, jitter=JITTER)
+    q_mu_full = jnp.zeros((C + M, L))
+    q_sqrt = jnp.eye(M)[None].repeat(L, 0)
+    state = pathwise.draw_paths(
+        jax.random.PRNGKey(5), ny, Z, ls, s2, chol, q_mu_full, q_sqrt,
+        3000, 4096, kernel="se",
+    )
+    X = jnp.linspace(0, 1, 7)
+    Xb = jnp.broadcast_to(X, (L, 7))
+    phi = pathwise._rff_features(Xb, state.omega, state.phase) * state.rff_scale[..., None]
+    f_prior = jnp.einsum("lnb,slb->sln", phi, state.w)
+    emp = np.einsum("sln,slm->lnm", np.asarray(f_prior), np.asarray(f_prior)) / 3000
+    exact = np.asarray(K.squared_exponential(Xb, Xb, ls, s2))
+    np.testing.assert_allclose(emp, exact, atol=0.1)
+
+
+def test_shared_kernel_broadcasting():
+    """[1]-shaped hyperparameters broadcast across latents (SharedIndependent
+    kernel semantics, reference models/vgpmp.py:132-133)."""
+    ls1 = jnp.asarray([1.5])
+    s21 = jnp.asarray([0.4])
+    x1 = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (3, 4)))
+    got = K.matern52(x1, x1, ls1, s21)
+    want = K.matern52(x1, x1, jnp.full(3, 1.5), jnp.full(3, 0.4))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)

@@ -20,6 +20,8 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from vgpmp_tpu.ops import linalg
+
 __all__ = ["zy", "kuu", "kuf", "cholesky_kuu"]
 
 KernelFn = Callable[..., jnp.ndarray]  # (x1 [L,A], x2 [L,B], l, s2) -> [L,A,B]
@@ -100,13 +102,13 @@ def cholesky_kuu(*args, escalations: int = 0, **kwargs) -> Tuple[jnp.ndarray, jn
     a failed Cholesky NaNs its whole step silently.
     """
     K = kuu(*args, **kwargs)
-    chol = jnp.linalg.cholesky(K)
+    chol = linalg.chol(K)
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     jitter = kwargs.get("jitter", 1e-6)
     for e in range(escalations):
         bad = ~jnp.all(jnp.isfinite(chol), axis=(-2, -1), keepdims=True)  # [L,1,1]
         K_retry = K + (10.0 ** (e + 1)) * jitter * eye
-        chol_retry = jnp.linalg.cholesky(K_retry)
+        chol_retry = linalg.chol(K_retry)
         chol = jnp.where(bad, chol_retry, chol)
         K = jnp.where(bad, K_retry, K)
     return K, chol

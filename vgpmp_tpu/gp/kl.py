@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from vgpmp_tpu.ops import linalg
+
 __all__ = ["gauss_kl_white", "prior_kl"]
 
 
@@ -57,11 +59,9 @@ def prior_kl(
     C = query_states.shape[0]
     # p_mu = K[..., :C] @ (K_CC)^{-1} @ query  per latent: [L, Mc, 1]
     q_t = query_states.T[..., None]  # [L, C, 1]
-    p_mu = kuu[..., :C] @ jax.scipy.linalg.cho_solve(
-        (chol_kuu[..., :C, :C], True), q_t
-    )
+    p_mu = kuu[..., :C] @ linalg.cho_solve(chol_kuu[..., :C, :C], q_t)
     q_mu_full = jnp.concatenate([query_states, q_mu], axis=0)  # [Mc, L]
     diff = q_mu_full.T[..., None] - p_mu  # [L, Mc, 1]
-    whitened = jax.scipy.linalg.solve_triangular(chol_kuu, diff, lower=True)
+    whitened = linalg.solve_lower(chol_kuu, diff)
     whitened = whitened[..., C:, 0].T  # [M, L]
     return gauss_kl_white(whitened, q_sqrt)

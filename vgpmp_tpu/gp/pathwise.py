@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from vgpmp_tpu.gp.conditioned import zy as zy_fn
+from vgpmp_tpu.ops import linalg
 
 __all__ = ["PathState", "draw_paths", "eval_paths", "whitened_scale"]
 
@@ -97,6 +98,7 @@ def draw_paths(
     df: float = 5.0,
     jitter: float = 1e-6,
     deriv_mask: jnp.ndarray | None = None,
+    kernel: str = "matern52",
 ) -> PathState:
     """Draw S function samples (reference ``temporary_paths``).
 
@@ -119,8 +121,14 @@ def draw_paths(
     bulk = Z.dtype
     solve = chol_kuu.dtype
 
-    # Matérn-ν spectral sampling: omega ~ StudentT(2ν) / lengthscale
-    t = jax.random.t(k_omega, df, shape=(L, num_bases), dtype=bulk)
+    # spectral sampling: Matérn-ν -> StudentT(2ν)/lengthscale;
+    # squared-exponential -> Normal(0, 1/lengthscale)
+    if kernel == "matern52":
+        t = jax.random.t(k_omega, df, shape=(L, num_bases), dtype=bulk)
+    elif kernel == "se":
+        t = jax.random.normal(k_omega, (L, num_bases), dtype=bulk)
+    else:
+        raise ValueError(f"no spectral sampler for kernel {kernel!r}")
     omega = t / lengthscales[:, None]
     phase = jax.random.uniform(k_phase, (L, num_bases), dtype=bulk, maxval=TWO_PI)
     w = jax.random.normal(k_w, (num_samples, L, num_bases), dtype=bulk)
@@ -142,9 +150,7 @@ def draw_paths(
     # pathwise-update coefficients: Kuu^{-1} (u - f_prior(Z)); S samples are
     # carried as RHS columns so the solve batches over L only
     resid = jnp.transpose(u - f_prior_z, (1, 2, 0))  # [L, Mc, S]
-    v = jnp.transpose(
-        jax.scipy.linalg.cho_solve((chol_kuu, True), resid), (2, 0, 1)
-    )  # [S, L, Mc]
+    v = jnp.transpose(linalg.cho_solve(chol_kuu, resid), (2, 0, 1))  # [S, L, Mc]
     return PathState(omega=omega, phase=phase, w=w, v=v, rff_scale=rff_scale)
 
 

@@ -17,6 +17,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from vgpmp_tpu.ops import linalg
+
 from vgpmp_tpu.gp.pathwise import whitened_scale
 
 __all__ = ["predict_f"]
@@ -38,7 +40,7 @@ def predict_f(
     Returns:
         (mean ``[N, L]``, var ``[N, L]``).
     """
-    A = jax.scipy.linalg.cho_solve((chol_kuu, True), kuf)  # Kuu^{-1} Kuf: [L, Mc, N]
+    A = linalg.cho_solve(chol_kuu, kuf)  # Kuu^{-1} Kuf: [L, Mc, N]
     mean = jnp.einsum("lmn,ml->nl", A, q_mu_full)
     lam = whitened_scale(chol_kuu, q_sqrt, jitter)  # [L, Mc, Mc]
     proj = jnp.einsum("lmk,lmn->lkn", lam, A)  # Λᵀ Kuu^{-1} Kuf: [L, Mc, N]

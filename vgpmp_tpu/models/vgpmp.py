@@ -84,6 +84,8 @@ class PlannerModel:
     # Cholesky-failure sanitizer: number of 10x-jitter escalation retries
     # compiled into the Gram factorization (see gp/conditioned.cholesky_kuu)
     jitter_escalations: int = struct.field(pytree_node=False, default=0)
+    # stationary prior kernel: 'matern52' (reference default) or 'se'
+    kernel: str = struct.field(pytree_node=False, default="matern52")
 
     @property
     def num_latent(self) -> int:
@@ -152,15 +154,22 @@ def query_latent(model: PlannerModel, start: jnp.ndarray, goal: jnp.ndarray) -> 
     return joint_sigmoid_inverse(q, model.limits_low, model.limits_high)
 
 
+def _kernel_fn(model: PlannerModel):
+    return kernel_ops.KERNELS[model.kernel][0]
+
+
 def _gram(model: PlannerModel, c: dict):
     if model.velocity_constrained:
+        assert model.kernel == "matern52", "velocity conditioning supports matern52 only"
         Kuu = velocity.kuu_velocity(
             model.ny, c["Z"], c["lengthscales"], c["variance"],
             jitter=model.jitter, solve_dtype=model.solve_dtype,
         )
-        return Kuu, jnp.linalg.cholesky(Kuu)
+        from vgpmp_tpu.ops import linalg as _lin
+
+        return Kuu, _lin.chol(Kuu)
     Kuu, chol = conditioned.cholesky_kuu(
-        kernel_ops.matern52, model.ny, c["Z"], c["lengthscales"], c["variance"],
+        _kernel_fn(model), model.ny, c["Z"], c["lengthscales"], c["variance"],
         jitter=model.jitter, solve_dtype=model.solve_dtype,
         escalations=model.jitter_escalations,
     )
@@ -174,7 +183,7 @@ def _kuf(model: PlannerModel, c: dict, X: jnp.ndarray) -> jnp.ndarray:
             solve_dtype=model.solve_dtype,
         )
     return conditioned.kuf(
-        kernel_ops.matern52, model.ny, c["Z"], X, c["lengthscales"], c["variance"],
+        _kernel_fn(model), model.ny, c["Z"], X, c["lengthscales"], c["variance"],
         solve_dtype=model.solve_dtype,
     )
 
@@ -218,7 +227,7 @@ def elbo(
     state = pathwise.draw_paths(
         key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
         q_mu_full, c["q_sqrt"], model.num_samples, model.num_bases,
-        jitter=model.jitter, deriv_mask=_deriv_mask(model),
+        jitter=model.jitter, deriv_mask=_deriv_mask(model), kernel=model.kernel,
     )
     Kuf = _kuf(model, c, X)
     f = pathwise.eval_paths(state, Kuf, X)  # [S, N, L]
@@ -261,7 +270,7 @@ def elbo_with_aux(
     state = pathwise.draw_paths(
         key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
         q_mu_full, c["q_sqrt"], model.num_samples, model.num_bases,
-        jitter=model.jitter, deriv_mask=_deriv_mask(model),
+        jitter=model.jitter, deriv_mask=_deriv_mask(model), kernel=model.kernel,
     )
     Kuf = _kuf(model, c, X)
     f = pathwise.eval_paths(state, Kuf, X)
@@ -327,7 +336,7 @@ def sample_from_posterior(
     state = pathwise.draw_paths(
         key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
         q_mu_full, c["q_sqrt"], num_samples, model.num_bases, jitter=model.jitter,
-        deriv_mask=_deriv_mask(model),
+        deriv_mask=_deriv_mask(model), kernel=model.kernel,
     )
     f = pathwise.eval_paths(state, Kuf, Xnew)
     samples = joint_sigmoid(f, model.limits_low, model.limits_high)

@@ -64,6 +64,51 @@ class SdfGrid:
         if meta:
             path.with_suffix(".json").write_text(json.dumps(meta, indent=1))
 
+    # -------- reference-format interop (sdf_utils.py:138-215 equivalents) --
+
+    @classmethod
+    def from_sdf_text(cls, path, dtype: Any = jnp.float32) -> "SdfGrid":
+        """Parse the reference/SDFGen text format (``from_sdf``,
+        ``sdf_utils.py:195-210``): header = dims / origin / delta, then one
+        value per line with x fastest."""
+        with open(path) as f:
+            nx, ny, nz = (int(v) for v in f.readline().split())
+            origin = np.asarray([float(v) for v in f.readline().split()])
+            delta = float(f.readline().strip())
+            vals = np.loadtxt(f, dtype=np.float64)
+        data = vals.reshape(nz, ny, nx).transpose(2, 1, 0)  # x fastest -> [x,y,z]
+        return cls.from_arrays(data, origin, delta, dtype)
+
+    def to_sdf_text(self, path) -> None:
+        """Write the reference/SDFGen text format (inverse of
+        :meth:`from_sdf_text`)."""
+        data = np.asarray(self.data)
+        origin = np.asarray(self.origin, dtype=np.float64)
+        with open(path, "w") as f:
+            f.write(f"{data.shape[0]} {data.shape[1]} {data.shape[2]}\n")
+            f.write(f"{origin[0]} {origin[1]} {origin[2]}\n")
+            f.write(f"{float(self.delta)}\n")
+            np.savetxt(f, data.transpose(2, 1, 0).reshape(-1), fmt="%.6g")
+
+    def resized(self, ratio: float) -> "SdfGrid":
+        """Uniform metric rescale (``sdf_utils.py:46-54``): distances, voxel
+        pitch and origin all scale by ``ratio``."""
+        return SdfGrid(
+            data=self.data * ratio, origin=self.origin * ratio,
+            delta=self.delta * ratio,
+        )
+
+    def trimmed(self, lo: np.ndarray, hi: np.ndarray) -> "SdfGrid":
+        """Crop to cell-index box [lo, hi) (generalizes ``trim``,
+        ``sdf_utils.py:138-159``)."""
+        lo = np.asarray(lo, dtype=int)
+        hi = np.asarray(hi, dtype=int)
+        data = self.data[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+        return SdfGrid(
+            data=data, origin=self.origin + self.delta * jnp.asarray(lo, self.origin.dtype),
+            delta=self.delta,
+        )
+
 
 def _cell_index(grid: SdfGrid, points: jnp.ndarray) -> jnp.ndarray:
     """Clipped integer cell index per point: ``[..., 3] -> [..., 3] int32``."""
