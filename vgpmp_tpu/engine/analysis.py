@@ -68,7 +68,7 @@ def debug_likelihood(
     Parity with ``VGPMP.debug_likelihood`` — used to eyeball the effect of
     sigma_obs / epsilon on the objective at a specific pose.
     """
-    c = constrain(params)
+    c = constrain(params, model.variance_lower)
     return jnp.sum(model.collision.log_prob(configs, c["sigma_obs"]))
 
 

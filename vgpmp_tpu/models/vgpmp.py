@@ -86,19 +86,25 @@ class PlannerModel:
     jitter_escalations: int = struct.field(pytree_node=False, default=0)
     # stationary prior kernel: 'matern52' (reference default) or 'se'
     kernel: str = struct.field(pytree_node=False, default="matern52")
+    # lower bound of the kernel-variance positive() transform. The reference
+    # hard-codes 0.1 (models/vgpmp.py:139) — but two of its own problemsets
+    # initialize variance at or below that bound (wam/lab 0.05, ur10
+    # industrial 0.1), which makes the inverse transform NaN/-inf. We default
+    # to min(0.1, variance_init/2), set by the session.
+    variance_lower: float = struct.field(pytree_node=False, default=VARIANCE_LOWER)
 
     @property
     def num_latent(self) -> int:
         return self.limits_low.shape[0]
 
 
-def constrain(params: PlannerParams) -> dict:
+def constrain(params: PlannerParams, variance_lower: float = VARIANCE_LOWER) -> dict:
     """Apply all bijectors: unconstrained leaves -> model-space values."""
     return {
         "q_mu": params.q_mu,
         "q_sqrt": jnp.tril(params.q_sqrt),
         "lengthscales": tf_ops.positive(params.lengthscales_u),
-        "variance": tf_ops.positive(params.variance_u, VARIANCE_LOWER),
+        "variance": tf_ops.positive(params.variance_u, variance_lower),
         "Z": tf_ops.sigmoid_box(params.z_u, Z_LOW, Z_HIGH),
         "sigma_obs": tf_ops.positive(params.sigma_obs_u, SIGMA_OBS_LOWER),
         "alpha": tf_ops.positive(params.alpha_u, ALPHA_LOWER),
@@ -138,7 +144,7 @@ def init_params(
         q_sqrt=jnp.eye(M, dtype=dtype)[None].repeat(L, axis=0),
         lengthscales_u=tf_ops.positive_inverse(jnp.asarray(lengthscales, dtype=q_mu.dtype)),
         variance_u=tf_ops.positive_inverse(
-            jnp.full((L,), variance, dtype=q_mu.dtype), VARIANCE_LOWER
+            jnp.full((L,), variance, dtype=q_mu.dtype), model.variance_lower
         ),
         z_u=tf_ops.sigmoid_box_inverse(z_grid, Z_LOW, Z_HIGH),
         sigma_obs_u=tf_ops.positive_inverse(
@@ -219,7 +225,7 @@ def elbo(
     the axis. Gradients of the collective are handled by JAX automatically,
     so the whole training step stays one SPMD program.
     """
-    c = constrain(params)
+    c = constrain(params, model.variance_lower)
     q_lat = query_latent(model, start, goal)
     Kuu, chol = _gram(model, c)
     q_mu_full = _q_mu_full(model, c, q_lat)
@@ -263,7 +269,7 @@ def elbo_with_aux(
     ``log_level >= 1`` mode for observability (the reference exposes only the
     scalar ELBO via tqdm; ``miscellaneous.py:99-103``).
     """
-    c = constrain(params)
+    c = constrain(params, model.variance_lower)
     q_lat = query_latent(model, start, goal)
     Kuu, chol = _gram(model, c)
     q_mu_full = _q_mu_full(model, c, q_lat)
@@ -318,7 +324,7 @@ def sample_from_posterior(
     and the best sample is selected globally: per-device argmax, then an
     all-gather of the (score, trajectory) winners over the axis.
     """
-    c = constrain(params)
+    c = constrain(params, model.variance_lower)
     q_lat = query_latent(model, start, goal)
     Kuu, chol = _gram(model, c)
     q_mu_full = _q_mu_full(model, c, q_lat)

@@ -161,8 +161,23 @@ class PlanningSession:
             num_samples=int(self.planner_params["num_samples"]),
             num_bases=int(self.planner_params.get("num_bases", 1024)),
             num_inducing=int(self.planner_params["num_inducing"]),
-            jitter=float(self.planner_params.get("jitter", 1e-6)),
+            # default 1e-9 (vs the reference's 1e-6): endpoint-clamp softness
+            # is jitter * ||Kuu^{-1} r||, and long-lengthscale problemsets
+            # (ur10 industrial, wam lab: l=6) reach 0.15 rad endpoint error at
+            # 1e-6. The f64 linalg island + jitter escalation keep 1e-9 safe.
+            jitter=float(self.planner_params.get("jitter", 1e-9)),
             solve_dtype=self.planner_params.get("solve_dtype", solve_dtype),
+            jitter_escalations=int(self.planner_params.get("jitter_escalations", 3)),
+            variance_lower=float(
+                self.planner_params.get(
+                    "variance_lower",
+                    min(0.1, 0.5 * float(self.planner_params["variance"])),
+                )
+            ),
+            velocity_constrained=bool(
+                self.planner_params.get("velocity_constrained", False)
+            ),
+            kernel=str(self.planner_params.get("kernel", "matern52")),
         )
         self.train_config = TrainConfig(
             num_steps=int(self.planner_params["num_steps"]),
