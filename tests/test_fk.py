@@ -98,3 +98,27 @@ def test_wam_arm_coverage():
     upper = pos[:8]  # first 8 spheres: upper arm, radius 0.075
     assert np.all(np.abs(upper[:, :2]) < 0.08)
     assert upper[:, 2].min() > 0.34 and upper[:, 2].max() < 0.91
+
+
+def test_soa_matches_frame_gather_path(robot_name, rng):
+    """The SoA fast path and the frame-gather transcription must agree
+    (gradients too) — dual-implementation check for the TPU-optimized FK."""
+    spec = load_robot(robot_name)
+    base = np.eye(4)
+    th = 0.6
+    base[:3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    base[:3, 3] = [0.05, 0.1, -0.2]
+    model = dh.FkModel.from_spec(spec, base, dtype=jnp.float64)
+    qs = jnp.asarray(random_configs(spec, rng, 4))
+    fast = np.asarray(dh.sphere_positions(model, qs))
+    slow = np.asarray(dh.sphere_positions_frames(model, qs))
+    np.testing.assert_allclose(fast, slow, atol=1e-12)
+    g_fast = np.asarray(
+        jax.grad(lambda q: jnp.sum(jnp.sin(dh.sphere_positions(model, q))))(qs)
+    )
+    g_slow = np.asarray(
+        jax.grad(lambda q: jnp.sum(jnp.sin(dh.sphere_positions_frames(model, q))))(qs)
+    )
+    np.testing.assert_allclose(g_fast, g_slow, atol=1e-12)

@@ -144,3 +144,37 @@ def test_real_scene_obj_loads():
     verts, tris, piece = load_obj("/root/reference/data/scenes/industrial/industrial-acd.obj")
     assert len(tris) == 422
     assert piece.max() > 0  # ACD mesh has many convex pieces
+
+
+def test_packed_matches_nearest_within_bf16(toy_grid, rng):
+    """PackedSdfGrid: values/gradients equal the exact nearest-cell path up
+    to bfloat16 rounding (<= 2^-9 relative)."""
+    g, data, origin, delta = toy_grid
+    g32 = SdfGrid.from_arrays(data, origin, delta, dtype=jnp.float32)
+    pk = sdf_grid.PackedSdfGrid.pack(g32)
+    pts = jnp.asarray(_points(rng, 256), jnp.float32)
+    v_exact = np.asarray(sdf_grid.nearest_distance(g32, pts))
+    v_pack = np.asarray(sdf_grid.packed_nearest_distance(pk, pts))
+    np.testing.assert_allclose(v_pack, v_exact, rtol=2 ** -8, atol=1e-7)
+
+    w = jnp.asarray(rng.normal(size=256), jnp.float32)
+    g_exact = np.asarray(
+        jax.grad(lambda p: jnp.sum(w * sdf_grid.nearest_distance(g32, p)))(pts)
+    )
+    g_pack = np.asarray(
+        jax.grad(lambda p: jnp.sum(w * sdf_grid.packed_nearest_distance(pk, p)))(pts)
+    )
+    np.testing.assert_allclose(g_pack, g_exact, rtol=2 ** -7, atol=1e-6)
+
+
+def test_packed_zero_replacement_hack_preserved(rng):
+    """Flat-plateau voxels must pack the reference's 0.1 gradient
+    replacement (``sdf_utils.py:124-135``)."""
+    data = np.ones((6, 6, 6))  # constant field -> all central diffs zero
+    g = SdfGrid.from_arrays(data, np.zeros(3), 0.1, dtype=jnp.float32)
+    pk = sdf_grid.PackedSdfGrid.pack(g)
+    pts = jnp.asarray(rng.uniform(0.05, 0.45, size=(16, 3)), jnp.float32)
+    grad = np.asarray(
+        jax.grad(lambda p: jnp.sum(sdf_grid.packed_nearest_distance(pk, p)))(pts)
+    )
+    np.testing.assert_allclose(grad, 0.1, rtol=2 ** -9)  # bf16 rounding of 0.1

@@ -20,7 +20,13 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import struct
 
-from vgpmp_tpu.sdf.grid import SdfGrid, nearest_distance, trilinear_distance
+from vgpmp_tpu.sdf.grid import (
+    PackedSdfGrid,
+    SdfGrid,
+    nearest_distance,
+    packed_nearest_distance,
+    trilinear_distance,
+)
 
 __all__ = ["Primitives", "Scene"]
 
@@ -91,14 +97,36 @@ class Scene:
     extra_grids: Tuple[SdfGrid, ...] = ()
     extra_offsets: Optional[jnp.ndarray] = None  # [G, 3]
     primitives: Optional[Primitives] = None
+    # 'packed' = nearest-cell semantics via the 2-gather bf16 fast path
+    # (PackedSdfGrid; set by :meth:`packed`, which builds the tables);
+    # 'nearest' = exact f32 reference parity (7 gathers);
+    # 'trilinear' = C0 interpolation (8 gathers, autodiff gradient).
     mode: str = struct.field(pytree_node=False, default="nearest")
+    base_packed: Optional[PackedSdfGrid] = None
+    extra_packed: Tuple[PackedSdfGrid, ...] = ()
+
+    def packed(self) -> "Scene":
+        """Return a copy with the bf16 fast-path tables built (host-side
+        packing — call once at session build, never under jit)."""
+        return self.replace(
+            mode="packed",
+            base_packed=PackedSdfGrid.pack(self.base),
+            extra_packed=tuple(PackedSdfGrid.pack(g) for g in self.extra_grids),
+        )
 
     def distance(self, points: jnp.ndarray) -> jnp.ndarray:
         """World-frame ``[..., 3] -> [...]`` composed signed distance."""
-        lookup = trilinear_distance if self.mode == "trilinear" else nearest_distance
-        d = lookup(self.base, points - self.base_offset)
-        for g, grid in enumerate(self.extra_grids):
-            d = jnp.minimum(d, lookup(grid, points - self.extra_offsets[g]))
+        if self.mode == "packed":
+            d = packed_nearest_distance(self.base_packed, points - self.base_offset)
+            for g, grid in enumerate(self.extra_packed):
+                d = jnp.minimum(
+                    d, packed_nearest_distance(grid, points - self.extra_offsets[g])
+                )
+        else:
+            lookup = trilinear_distance if self.mode == "trilinear" else nearest_distance
+            d = lookup(self.base, points - self.base_offset)
+            for g, grid in enumerate(self.extra_grids):
+                d = jnp.minimum(d, lookup(grid, points - self.extra_offsets[g]))
         if self.primitives is not None:
             d = jnp.minimum(d, self.primitives.distance(points))
         return d

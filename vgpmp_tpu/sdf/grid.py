@@ -29,7 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-__all__ = ["SdfGrid", "nearest_distance", "trilinear_distance", "distance"]
+__all__ = [
+    "SdfGrid",
+    "PackedSdfGrid",
+    "nearest_distance",
+    "trilinear_distance",
+    "packed_nearest_distance",
+    "distance",
+]
 
 
 @struct.dataclass
@@ -178,6 +185,120 @@ def nearest_distance(
 
     _lookup.defvjp(_fwd, _bwd)
     return _lookup(points)
+
+
+# -------------------------------------------------------- packed fast path
+
+
+def _round_f32_to_bf16_bits(x: np.ndarray) -> np.ndarray:
+    """Top-16-bit (bfloat16) rounding of float32, round-to-nearest-even,
+    returned as uint32 with the low 16 bits zeroed."""
+    u = np.ascontiguousarray(x, dtype=np.float32).view(np.uint32)
+    rounded = u + 0x8000 + ((u >> 16) & 1)
+    return rounded & 0xFFFF0000
+
+
+@struct.dataclass
+class PackedSdfGrid:
+    """Gather-optimized nearest-cell SDF: value + central-difference gradient
+    pre-packed as 4 x bfloat16 in two uint32 words per voxel.
+
+    Motivation (measured, TPU v5e): XLA lowers each ``jnp.take`` with random
+    indices to a latency-bound ~8 cycles/element gather, so the reference
+    semantics of ``nearest_distance`` (1 value gather forward + 6
+    central-difference gathers for the custom VJP; ``sdf_utils.py:100-136``)
+    cost 7 gather passes per query point per step. The spatial gradient is a
+    *static* function of the grid, so we precompute it per voxel at pack time
+    (including the reference's zero->0.1 replacement hack) and quantize
+    [d, gx, gy, gz] to bfloat16 — bf16 is the top 16 bits of f32, so packing
+    is bit-masking and unpacking is ``bitcast(word & 0xFFFF0000)`` /
+    ``bitcast(word << 16)``: two flat gathers replace seven.
+
+    Accuracy: bf16 keeps 8 mantissa bits — near the surface (|d| ~ hinge
+    epsilon, 5 cm) the absolute error is ~2e-4 m, far below voxel pitch; far
+    values are hinge-inactive. Exact-parity mode stays available via
+    ``nearest_distance`` on the unpacked grid.
+    """
+
+    words0: jnp.ndarray   # [nx*ny*nz] uint32: bf16(value) | bf16(grad_x) >> 16
+    words1: jnp.ndarray   # [nx*ny*nz] uint32: bf16(grad_y) | bf16(grad_z) >> 16
+    origin: jnp.ndarray   # [3]
+    delta: jnp.ndarray    # []
+    shape: tuple = struct.field(pytree_node=False, default=())
+
+    @classmethod
+    def pack(cls, grid: SdfGrid, zero_replacement: float = 0.1) -> "PackedSdfGrid":
+        data = np.asarray(grid.data, dtype=np.float32)
+        # central-difference gradient per voxel, clipped at the borders —
+        # identical to ``central_difference_grad`` evaluated at cell centers
+        grads = []
+        for axis in range(3):
+            hi = np.concatenate(
+                [np.take(data, range(1, data.shape[axis]), axis=axis),
+                 np.take(data, [-1], axis=axis)], axis=axis)
+            lo = np.concatenate(
+                [np.take(data, [0], axis=axis),
+                 np.take(data, range(0, data.shape[axis] - 1), axis=axis)], axis=axis)
+            d = (hi - lo) / (2.0 * float(grid.delta))
+            if zero_replacement:
+                d = np.where(d == 0, np.float32(zero_replacement), d).astype(np.float32)
+            grads.append(d)
+        val = _round_f32_to_bf16_bits(data).reshape(-1)
+        gx = _round_f32_to_bf16_bits(grads[0]).reshape(-1)
+        gy = _round_f32_to_bf16_bits(grads[1]).reshape(-1)
+        gz = _round_f32_to_bf16_bits(grads[2]).reshape(-1)
+        return cls(
+            words0=jnp.asarray(val | (gx >> 16)),
+            words1=jnp.asarray(gy | (gz >> 16)),
+            origin=grid.origin,
+            delta=grid.delta,
+            shape=tuple(int(s) for s in grid.data.shape),
+        )
+
+
+def _packed_flat_index(packed: PackedSdfGrid, points: jnp.ndarray) -> jnp.ndarray:
+    nx, ny, nz = packed.shape
+    nmax = jnp.asarray([nx - 1, ny - 1, nz - 1], dtype=jnp.int32)
+    idx = jnp.floor((points - packed.origin) / packed.delta).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, nmax)
+    return (idx[..., 0] * ny + idx[..., 1]) * nz + idx[..., 2]
+
+
+def _unpack_hi(w: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(w & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _unpack_lo(w: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(w << 16, jnp.float32)
+
+
+def packed_nearest_distance(packed: PackedSdfGrid, points: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-cell SDF value from a :class:`PackedSdfGrid` (two gathers).
+
+    Forward: bf16-rounded nearest-cell value. Backward: upstream scalar times
+    the pre-packed per-voxel central-difference gradient — the same custom-VJP
+    semantics as :func:`nearest_distance` at bf16 precision.
+    """
+
+    @jax.custom_vjp
+    def _lookup(p):
+        flat = _packed_flat_index(packed, p)
+        return _unpack_hi(jnp.take(packed.words0, flat, axis=0))
+
+    def _fwd(p):
+        flat = _packed_flat_index(packed, p)
+        w0 = jnp.take(packed.words0, flat, axis=0)
+        w1 = jnp.take(packed.words1, flat, axis=0)
+        grad = jnp.stack(
+            [_unpack_lo(w0), _unpack_hi(w1), _unpack_lo(w1)], axis=-1
+        ).astype(p.dtype)
+        return _unpack_hi(w0).astype(p.dtype), grad
+
+    def _bwd(res, g):
+        return (g[..., None] * res,)
+
+    _lookup.defvjp(_fwd, _bwd)
+    return _lookup(points).astype(points.dtype)
 
 
 def trilinear_distance(grid: SdfGrid, points: jnp.ndarray) -> jnp.ndarray:

@@ -65,7 +65,10 @@ class PlanningSession:
     robot_name: str
     problemset_name: str
     dtype: Any = jnp.float32
-    sdf_mode: str = "nearest"
+    # 'packed' = nearest-cell semantics on the 2-gather bf16 fast path
+    # (default; ~3.5x fewer SDF gathers per step). 'nearest' = exact f32
+    # reference parity; 'trilinear' = C0 interpolation.
+    sdf_mode: str = "packed"
     overrides: Dict[str, Any] = field(default_factory=dict)
     # non-benchmark mode (reference ``non_benchmark_attributes``): supply
     # explicit states/pose/params and a scene name instead of a problemset
@@ -77,7 +80,7 @@ class PlanningSession:
     primitives: Optional[Any] = None
 
     @classmethod
-    def from_config(cls, path, dtype: Any = jnp.float32, sdf_mode: str = "nearest"):
+    def from_config(cls, path, dtype: Any = jnp.float32, sdf_mode: str = "packed"):
         """Build a session from a reference-schema ``parameters.yaml``."""
         from vgpmp_tpu.config import load_parameters_yaml
 
@@ -141,6 +144,8 @@ class PlanningSession:
             primitives=self.primitives,
             mode=self.sdf_mode,
         )
+        if self.sdf_mode == "packed":
+            self.scene = self.scene.packed()
         collision = CollisionModel(
             fk=fk,
             scene=self.scene,
