@@ -64,3 +64,31 @@ def test_sdf_gradient_probe_shapes(session):
     )
     assert g.shape == (session.spec.num_spheres, 3)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_debug_loop_commands(session):
+    """REPL parity with the reference's interactive loop
+    (``simulation_manager.py:124-152``): all probe commands run and the
+    final configuration reflects the edits."""
+    import io
+
+    import numpy as np
+
+    from vgpmp_tpu.engine.repl import debug_loop
+    from vgpmp_tpu.engine import solver as solver_mod
+
+    sess = session
+    starts, goals = sess.queries()
+    params = solver_mod.init_batch(
+        sess.model, starts[:1], goals[:1], sess.planner_params
+    )
+    params = jax.tree.map(lambda x: x[0], params)
+    fin = io.StringIO("c\nset 0 0.3\nsdf\nfk\nlik\nee\nbogus\nq\n")
+    fout = io.StringIO()
+    q = debug_loop(sess.model, params, stdin=fin, stdout=fout)
+    out = fout.getvalue()
+    assert "collision log-density" in out
+    assert "sdf grad per sphere" in out
+    assert "ee position" in out
+    assert "commands:" in out  # unknown command help
+    np.testing.assert_allclose(q[0], 0.3, atol=1e-12)

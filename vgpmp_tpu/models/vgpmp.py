@@ -119,12 +119,19 @@ def init_params(
     variance: float,
     sigma_obs: float,
     alpha: float,
+    interpolation: str = "linear",
+    waypoint: np.ndarray | None = None,
 ) -> PlannerParams:
     """Initialize the variational state for one problem.
 
-    Mirrors ``VGPMP.initialize`` (``models/vgpmp.py:84-198``): q_mu is the
-    linear interpolation start->goal pushed through the inverse joint sigmoid,
-    q_sqrt identity, Z an even grid in (0.1, 0.9).
+    Mirrors ``VGPMP.initialize`` (``models/vgpmp.py:84-198``): q_sqrt
+    identity, Z an even grid in (0.1, 0.9), and q_mu per ``interpolation``
+    (the reference's ``interpolation_method``, ``models/vgpmp.py:164-177``):
+
+    - ``'linear'`` (default): start -> goal interpolation over M rows;
+    - ``'zeros'``: latent zeros (mid-range joint values after the sigmoid);
+    - ``'waypoint'``: start -> waypoint -> goal piecewise-linear; ``waypoint``
+      defaults to the midpoint (the reference hard-codes 0.5 blending).
     """
     L = model.num_latent
     M = model.num_inducing
@@ -132,11 +139,29 @@ def init_params(
     lo, hi = model.limits_low, model.limits_high
     dtype = lo.dtype  # explicit: under x64 the default would promote to f64
 
-    frac = jnp.arange(M, dtype=dtype)[:, None] / M
     start = jnp.asarray(start, dtype=dtype)
     goal = jnp.asarray(goal, dtype=dtype)
-    q_mu_c = start[None, :] + (goal - start)[None, :] * frac
-    q_mu = joint_sigmoid_inverse(q_mu_c, lo, hi)
+    if interpolation == "linear":
+        frac = jnp.arange(M, dtype=dtype)[:, None] / M
+        q_mu_c = start[None, :] + (goal - start)[None, :] * frac
+        q_mu = joint_sigmoid_inverse(q_mu_c, lo, hi)
+    elif interpolation == "zeros":
+        q_mu = jnp.zeros((M, L), dtype=dtype)
+    elif interpolation == "waypoint":
+        wp = (
+            jnp.asarray(waypoint, dtype=dtype)
+            if waypoint is not None
+            else 0.5 * (start + goal)
+        )
+        frac = jnp.arange(M, dtype=dtype)[:, None] / max(M - 1, 1)
+        first = start[None, :] + (wp - start)[None, :] * jnp.minimum(frac * 2, 1.0)
+        q_mu_c = jnp.where(
+            frac < 0.5, first,
+            wp[None, :] + (goal - wp)[None, :] * jnp.maximum(frac * 2 - 1.0, 0.0),
+        )
+        q_mu = joint_sigmoid_inverse(q_mu_c, lo, hi)
+    else:
+        raise ValueError(f"unknown q_mu interpolation {interpolation!r}")
 
     z_grid = jnp.linspace(0.1, 0.9, M, dtype=dtype)[:, None].repeat(L, axis=1)
     return PlannerParams(
