@@ -248,3 +248,29 @@ def test_shared_kernel_broadcasting():
     got = K.matern52(x1, x1, ls1, s21)
     want = K.matern52(x1, x1, jnp.full(3, 1.5), jnp.full(3, 0.4))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+def test_antithetic_draws_pair_cancellation():
+    """Antithetic mode: prior-basis weights come in +/- pairs, so the
+    sample-mean of any odd functional of the prior noise is exactly zero."""
+    import jax
+
+    from vgpmp_tpu.gp import conditioned, pathwise
+    from vgpmp_tpu.ops import kernels as kops
+
+    L, M, S, B = 3, 6, 8, 32
+    ny = jnp.asarray([0.0, 1.0])
+    Z = jnp.linspace(0.1, 0.9, M)[:, None].repeat(L, axis=1)
+    ls = jnp.full((L,), 1.0)
+    var = jnp.full((L,), 0.3)
+    kfn = kops.KERNELS["matern52"][0]
+    _, chol = conditioned.cholesky_kuu(kfn, ny, Z, ls, var, jitter=1e-8)
+    q_mu_full = jnp.zeros((M + 2, L))
+    q_sqrt = jnp.eye(M)[None].repeat(L, axis=0) * 0.1
+    st = pathwise.draw_paths(
+        jax.random.PRNGKey(0), ny, Z, ls, var, chol, q_mu_full, q_sqrt,
+        S, B, antithetic=True,
+    )
+    np.testing.assert_allclose(np.asarray(st.w[: S // 2]), -np.asarray(st.w[S // 2:]), atol=1e-12)
+    # mean over samples of w (odd functional) is exactly zero
+    np.testing.assert_allclose(np.asarray(st.w.mean(axis=0)), 0.0, atol=1e-12)

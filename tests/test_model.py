@@ -136,3 +136,46 @@ def test_validator_flags_collision(session, problem):
     rep_ep = validate_trajectory(model.collision, traj, q_free + 1.0, q_free,
                                  model.limits_low, model.limits_high)
     assert not bool(rep_ep.endpoints_ok)
+
+
+def test_sigma_scale_softens_collision_term(session):
+    """sigma_scale > 1 must raise (soften) the ELBO and leave the KL
+    unchanged — the continuation endpoint (scale=1) is the exact objective."""
+    import jax
+
+    from vgpmp_tpu.engine import solver as solver_mod
+    from vgpmp_tpu.models import vgpmp as planner
+
+    sess = session
+    starts, goals = sess.queries()
+    p = solver_mod.init_batch(sess.model, starts[:1], goals[:1], sess.planner_params)
+    p = jax.tree.map(lambda x: x[0], p)
+    X = jnp.linspace(0.0, 1.0, 12, dtype=jnp.float64)
+    key = jax.random.PRNGKey(0)
+    s0 = jnp.asarray(starts[0], jnp.float64)
+    g0 = jnp.asarray(goals[0], jnp.float64)
+    e1 = float(planner.elbo(p, sess.model, s0, g0, X, key, sigma_scale=1.0))
+    e10 = float(planner.elbo(p, sess.model, s0, g0, X, key, sigma_scale=10.0))
+    assert e10 > e1  # softened collision penalty
+
+
+def test_solver_schedules_compile_and_run(session):
+    """lr_peak + sigma_anneal solve path: one tiny batched solve end-to-end."""
+    import jax
+
+    from vgpmp_tpu.engine import solver as solver_mod
+
+    sess = session
+    cfg = sess.train_config.replace(
+        num_steps=6, lr_peak=0.1, warmup_steps=2, sigma_anneal=10.0,
+        num_posterior_samples=4, time_spacing_X=8, time_spacing_Xnew=10,
+    )
+    starts, goals = sess.queries()
+    B = 2
+    params_b = solver_mod.init_batch(sess.model, starts[:B], goals[:B], sess.planner_params)
+    solve_b = solver_mod.make_batch_solver(sess.model, cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    _, res = solve_b(params_b, jnp.asarray(starts[:B], jnp.float64),
+                     jnp.asarray(goals[:B], jnp.float64), keys)
+    assert bool(np.isfinite(np.asarray(res.best)).all())
+    assert bool(np.isfinite(np.asarray(res.elbo_history)).all())

@@ -86,6 +86,9 @@ class PlannerModel:
     jitter_escalations: int = struct.field(pytree_node=False, default=0)
     # stationary prior kernel: 'matern52' (reference default) or 'se'
     kernel: str = struct.field(pytree_node=False, default="matern52")
+    # antithetic pathwise draws (+g/-g pairs): halves MC-gradient variance at
+    # equal sample budget; the reference draws i.i.d. samples
+    antithetic: bool = struct.field(pytree_node=False, default=False)
     # lower bound of the kernel-variance positive() transform. The reference
     # hard-codes 0.1 (models/vgpmp.py:139) — but two of its own problemsets
     # initialize variance at or below that bound (wam/lab 0.05, ur10
@@ -240,8 +243,14 @@ def elbo(
     X: jnp.ndarray,
     key: jax.Array,
     sample_axis: str | None = None,
+    sigma_scale: jnp.ndarray | float = 1.0,
 ) -> jnp.ndarray:
     """Monte-Carlo ELBO (parity: ``models/vgpmp.py:265-289``).
+
+    ``sigma_scale``: multiplier on sigma_obs for continuation/annealing
+    schedules (1.0 = the exact reference objective). Softening the collision
+    penalty early and tightening geometrically avoids hinge-plateau local
+    minima at a fixed step budget; see ``TrainConfig.sigma_anneal``.
 
     ``sample_axis``: when running under ``shard_map`` with the MC-sample axis
     sharded across devices, pass the mesh axis name — each device draws
@@ -259,12 +268,13 @@ def elbo(
         key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
         q_mu_full, c["q_sqrt"], model.num_samples, model.num_bases,
         jitter=model.jitter, deriv_mask=_deriv_mask(model), kernel=model.kernel,
+        antithetic=model.antithetic,
     )
     Kuf = _kuf(model, c, X)
     f = pathwise.eval_paths(state, Kuf, X)  # [S, N, L]
     g = joint_sigmoid(f, model.limits_low, model.limits_high)
 
-    lik = model.collision.log_prob(g, c["sigma_obs"])  # [S, N]
+    lik = model.collision.log_prob(g, c["sigma_obs"] * sigma_scale)  # [S, N]
     lik_mean = jnp.mean(lik, axis=0)
     if sample_axis is not None:
         lik_mean = jax.lax.pmean(lik_mean, sample_axis)
@@ -287,6 +297,7 @@ def elbo_with_aux(
     X: jnp.ndarray,
     key: jax.Array,
     sample_axis: str | None = None,
+    sigma_scale: jnp.ndarray | float = 1.0,
 ):
     """ELBO plus structured per-step metrics (KL, likelihood, min clearance).
 
@@ -302,13 +313,14 @@ def elbo_with_aux(
         key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
         q_mu_full, c["q_sqrt"], model.num_samples, model.num_bases,
         jitter=model.jitter, deriv_mask=_deriv_mask(model), kernel=model.kernel,
+        antithetic=model.antithetic,
     )
     Kuf = _kuf(model, c, X)
     f = pathwise.eval_paths(state, Kuf, X)
     g = joint_sigmoid(f, model.limits_low, model.limits_high)
     clearance = model.collision.sphere_clearance(g)  # [S, N, P]
     cost = jnp.maximum(model.collision.epsilon - clearance, 0.0)
-    lik = -0.5 * jnp.sum(cost * cost / c["sigma_obs"], axis=-1)
+    lik = -0.5 * jnp.sum(cost * cost / (c["sigma_obs"] * sigma_scale), axis=-1)
     lik_mean = jnp.mean(lik, axis=0)
     if sample_axis is not None:
         lik_mean = jax.lax.pmean(lik_mean, sample_axis)

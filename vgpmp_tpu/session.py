@@ -183,12 +183,16 @@ class PlanningSession:
                 self.planner_params.get("velocity_constrained", False)
             ),
             kernel=str(self.planner_params.get("kernel", "matern52")),
+            antithetic=bool(self.planner_params.get("antithetic", False)),
         )
         self.train_config = TrainConfig(
             num_steps=int(self.planner_params["num_steps"]),
             learning_rate=float(self.planner_params["learning_rate"]),
             time_spacing_X=int(self.planner_params["time_spacing_X"]),
             time_spacing_Xnew=int(self.planner_params["time_spacing_Xnew"]),
+            lr_peak=float(self.planner_params.get("lr_peak", 0.0)),
+            warmup_steps=int(self.planner_params.get("warmup_steps", 10)),
+            sigma_anneal=float(self.planner_params.get("sigma_anneal", 1.0)),
         )
 
     # ------------------------------------------------------------------
