@@ -179,3 +179,37 @@ def test_solver_schedules_compile_and_run(session):
                      jnp.asarray(goals[:B], jnp.float64), keys)
     assert bool(np.isfinite(np.asarray(res.best)).all())
     assert bool(np.isfinite(np.asarray(res.elbo_history)).all())
+
+
+def test_ensemble_solver_selects_best_init(session):
+    """K-init ensemble: runs K x B solves in one program, returns one
+    trajectory per problem, and the chosen trajectory's validation report
+    dominates (or ties) every member's report."""
+    from vgpmp_tpu.engine import solver as solver_mod
+
+    sess = session
+    cfg = sess.train_config.replace(
+        num_steps=6, num_posterior_samples=4, time_spacing_X=8,
+        time_spacing_Xnew=10,
+    )
+    starts, goals = sess.queries()
+    B, K = 2, 2
+    sb = jnp.asarray(starts[:B], jnp.float64)
+    gb = jnp.asarray(goals[:B], jnp.float64)
+    params_kb = solver_mod.init_ensemble(
+        sess.model, starts[:B], goals[:B], sess.planner_params,
+        inits=("linear", "zeros"),
+    )
+    assert params_kb.q_mu.shape[:2] == (K, B)
+    # the two inits must actually differ
+    assert not np.allclose(np.asarray(params_kb.q_mu[0]), np.asarray(params_kb.q_mu[1]))
+    keys = jax.random.split(jax.random.PRNGKey(0), K * B).reshape(K, B, 2)
+    solve = solver_mod.make_ensemble_solver(sess.model, cfg)
+    best, reps, chosen = solve(params_kb, sb, gb, keys)
+    assert best.shape == (B, cfg.time_spacing_Xnew, sess.model.num_latent)
+    assert np.isfinite(np.asarray(best)).all()
+    assert chosen.shape == (B,)
+    assert set(np.asarray(chosen).tolist()) <= {0, 1}
+    # endpoints of the selected trajectories respect the conditioning
+    assert np.allclose(np.asarray(best[:, 0]), np.asarray(sb), atol=0.05)
+    assert np.allclose(np.asarray(best[:, -1]), np.asarray(gb), atol=0.05)

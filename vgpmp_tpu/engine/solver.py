@@ -23,7 +23,15 @@ from flax import struct
 
 from vgpmp_tpu.models import vgpmp as planner
 
-__all__ = ["TrainConfig", "SolveResult", "make_single_solver", "make_batch_solver", "default_trainable"]
+__all__ = [
+    "TrainConfig",
+    "SolveResult",
+    "make_single_solver",
+    "make_batch_solver",
+    "make_ensemble_solver",
+    "init_ensemble",
+    "default_trainable",
+]
 
 
 @struct.dataclass
@@ -194,6 +202,83 @@ def make_batch_solver(
     """
     solve = make_single_solver(model, cfg, trainable, keep_samples)
     return jax.jit(jax.vmap(solve, in_axes=(0, 0, 0, 0)))
+
+
+def make_ensemble_solver(
+    model: planner.PlannerModel,
+    cfg: TrainConfig,
+    trainable: Optional[dict] = None,
+):
+    """Multi-restart solver: K inits per problem, best validated one wins.
+
+    The dominant failure mode of the single solver is a *colliding local
+    minimum* — the MC-ELBO landscape is multimodal and a straight-line q_mu
+    init commits to one homotopy class (measured franka/industrial @200
+    steps: linear init 83% solved, zeros init 47%, union 94%). Restarting
+    from diverse inits and picking the best geometrically-validated
+    trajectory is the standard motion-planning answer; on TPU the K restarts
+    are just K more rows of the problem batch (one XLA program, perfect
+    utilization), not K sequential runs.
+
+    Returns ``solve(params_kb, starts, goals, keys_kb) -> (best [B, Nnew, L],
+    reports, chosen_init [B])`` where ``params_kb``/``keys_kb`` carry a
+    leading ``[K, B]`` axis (see :func:`init_ensemble`). Selection prefers
+    validator success, then larger worst-case clearance (ties broken toward
+    init 0).
+    """
+    from vgpmp_tpu.engine.validator import validate_trajectory
+
+    single = make_single_solver(model, cfg, trainable)
+
+    def solve_row(p, s, g, k):
+        _, res = single(p, s, g, k)
+        rep = validate_trajectory(
+            model.collision, res.best, s, g, model.limits_low, model.limits_high
+        )
+        return res.best, rep
+
+    vm = jax.vmap(jax.vmap(solve_row, in_axes=(0, 0, 0, 0)),
+                  in_axes=(0, None, None, 0))
+
+    @jax.jit
+    def solve(params_kb, starts, goals, keys_kb):
+        best_kb, reps_kb = vm(params_kb, starts, goals, keys_kb)  # [K, B, ...]
+        score = (
+            reps_kb.success.astype(jnp.float32) * 1e3 + reps_kb.min_clearance
+        )  # [K, B]
+        chosen = jnp.argmax(score, axis=0)  # [B]
+        take = lambda x: jnp.take_along_axis(
+            x, chosen.reshape((1, -1) + (1,) * (x.ndim - 2)), axis=0
+        )[0]
+        best = take(best_kb)
+        reps = jax.tree.map(take, reps_kb)
+        return best, reps, chosen
+
+    return solve
+
+
+def init_ensemble(
+    model: planner.PlannerModel,
+    starts: np.ndarray,
+    goals: np.ndarray,
+    planner_params: dict,
+    inits: Tuple[str, ...] = ("linear", "zeros"),
+) -> planner.PlannerParams:
+    """Stack :func:`init_batch` over K q_mu init modes -> ``[K, B]`` params."""
+    batches = [
+        jax.vmap(
+            lambda s, g: planner.init_params(
+                model, s, g,
+                lengthscales=np.asarray(planner_params["lengthscales"], dtype=np.float64),
+                variance=float(planner_params["variance"]),
+                sigma_obs=float(planner_params["sigma_obs"]),
+                alpha=float(planner_params["alpha"]),
+                interpolation=interp,
+            )
+        )(jnp.asarray(starts), jnp.asarray(goals))
+        for interp in inits
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
 
 
 def init_batch(
