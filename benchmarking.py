@@ -44,56 +44,99 @@ ALL_COMBOS = [
 ]
 
 
-def run_combo(robot: str, problemset: str, runs: int, sdf_mode: str, seed: int) -> dict:
+def run_combo(
+    robot: str,
+    problemset: str,
+    runs: int,
+    sdf_mode: str,
+    seed: int,
+    use_tuned: bool = True,
+) -> dict:
+    """Solve one robot x environment problemset ``runs`` times.
+
+    When the (tuned) planner params request multiple q_mu inits
+    (``q_mu_inits``), the K-restart ensemble solver runs K x B problems in
+    one XLA program and the validator-best restart wins per problem —
+    otherwise the plain batched solver is used (the exact reference schedule,
+    ``--parity``).
+    """
     from vgpmp_tpu.engine import solver
     from vgpmp_tpu.engine.validator import validate_trajectory
     from vgpmp_tpu.session import PlanningSession
 
-    sess = PlanningSession(robot, problemset, dtype=jnp.float32, sdf_mode=sdf_mode)
+    sess = PlanningSession(
+        robot, problemset, dtype=jnp.float32, sdf_mode=sdf_mode, use_tuned=use_tuned
+    )
     starts, goals = sess.queries()
     B = len(starts)
     sb, gb = jnp.asarray(starts, jnp.float32), jnp.asarray(goals, jnp.float32)
-    params_b = solver.init_batch(sess.model, starts, goals, sess.planner_params)
-    solve_b = solver.make_batch_solver(sess.model, sess.train_config)
-    val = jax.jit(
-        jax.vmap(
-            lambda t, a, b: validate_trajectory(
-                sess.model.collision, t, a, b,
-                sess.model.limits_low, sess.model.limits_high,
+    inits = tuple(sess.planner_params.get("q_mu_inits", ["linear"]))
+    K = len(inits)
+
+    if K > 1:
+        params0 = solver.init_ensemble(
+            sess.model, starts, goals, sess.planner_params, inits=inits
+        )
+        solve = solver.make_ensemble_solver(sess.model, sess.train_config)
+
+        def run_once(run_seed):
+            keys = jax.random.split(jax.random.PRNGKey(run_seed), K * B).reshape(K, B, 2)
+            best, reps, _ = solve(params0, sb, gb, keys)
+            best.block_until_ready()
+            return reps
+    else:
+        params0 = solver.init_batch(sess.model, starts, goals, sess.planner_params)
+        solve_b = solver.make_batch_solver(sess.model, sess.train_config)
+        val = jax.jit(
+            jax.vmap(
+                lambda t, a, b: validate_trajectory(
+                    sess.model.collision, t, a, b,
+                    sess.model.limits_low, sess.model.limits_high,
+                )
             )
         )
-    )
+
+        def run_once(run_seed):
+            keys = jax.random.split(jax.random.PRNGKey(run_seed), B)
+            _, res = solve_b(params0, sb, gb, keys)
+            res.best.block_until_ready()
+            return val(res.best, sb, gb)
 
     per_run = []
     times = []
     failed: list = []
     for r in range(runs):
-        keys = jax.random.split(jax.random.PRNGKey(seed + r), B)
         t0 = time.time()
-        _, res = solve_b(params_b, sb, gb, keys)
-        res.best.block_until_ready()
+        reps = run_once(seed + r)
         times.append(time.time() - t0)
-        reps = val(res.best, sb, gb)
         succ = np.asarray(reps.success)
         per_run.append(int(succ.sum()))
         failed.append(np.nonzero(~succ)[0].tolist())
 
+    steady = min(times[1:]) if len(times) > 1 else times[0]
     avg = float(np.mean(per_run))
     out = {
         "robot": robot,
         "problemset": problemset,
         "problems": B,
+        "restarts": K,
+        "tuned": use_tuned,
+        "budget": {
+            k: sess.planner_params[k]
+            for k in ("num_steps", "num_samples", "num_inducing", "learning_rate")
+        },
         "avg_solved": avg,
         "success_rate": avg / B,
         "per_run_solved": per_run,
         "failed_indices_last_run": failed[-1],
-        "steady_batch_seconds": round(min(times[1:]) if len(times) > 1 else times[0], 3),
-        "solves_per_sec": round(B / min(times[1:]) if len(times) > 1 else B / times[0], 2),
+        "compile_plus_first_seconds": round(times[0] - steady, 1),
+        "steady_batch_seconds": round(steady, 3),
+        "solves_per_sec": round(B / steady, 2),
     }
     print(
         f"{robot}/{problemset}: average solved {avg:.1f} / {B} "
-        f"({100 * avg / B:.1f}%), batch {out['steady_batch_seconds']}s "
-        f"= {out['solves_per_sec']} solves/s"
+        f"({100 * avg / B:.1f}%), K={K}, batch {out['steady_batch_seconds']}s "
+        f"= {out['solves_per_sec']} solves/s, compile {out['compile_plus_first_seconds']}s"
     )
     return out
 
@@ -104,14 +147,19 @@ def main() -> None:
     ap.add_argument("--problemset", default="industrial")
     ap.add_argument("--all", action="store_true", help="run every robot x env combo")
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--sdf-mode", default="nearest", choices=["nearest", "trilinear"])
+    ap.add_argument("--sdf-mode", default="nearest", choices=["nearest", "trilinear", "packed"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--parity", action="store_true",
+        help="exact reference hyperparameters (no tuned schedule/restart overlay)",
+    )
     args = ap.parse_args()
 
     combos = ALL_COMBOS if args.all else [(args.robot, args.problemset)]
     results = [
-        run_combo(r, p, args.runs, args.sdf_mode, args.seed) for r, p in combos
+        run_combo(r, p, args.runs, args.sdf_mode, args.seed, use_tuned=not args.parity)
+        for r, p in combos
     ]
     total_b = sum(r["problems"] for r in results)
     total_s = sum(r["avg_solved"] for r in results)

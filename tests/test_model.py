@@ -204,12 +204,17 @@ def test_ensemble_solver_selects_best_init(session):
     # the two inits must actually differ
     assert not np.allclose(np.asarray(params_kb.q_mu[0]), np.asarray(params_kb.q_mu[1]))
     keys = jax.random.split(jax.random.PRNGKey(0), K * B).reshape(K, B, 2)
-    solve = solver_mod.make_ensemble_solver(sess.model, cfg)
-    best, reps, chosen = solve(params_kb, sb, gb, keys)
+    solve = solver_mod.make_ensemble_solver(sess.model, cfg, keep_member_reports=True)
+    best, reps, chosen, reps_kb = solve(params_kb, sb, gb, keys)
     assert best.shape == (B, cfg.time_spacing_Xnew, sess.model.num_latent)
     assert np.isfinite(np.asarray(best)).all()
     assert chosen.shape == (B,)
     assert set(np.asarray(chosen).tolist()) <= {0, 1}
+    # selection invariant: the chosen member's score >= every member's score
+    score = lambda r: np.asarray(r.success, np.float32) * 1e3 + np.nan_to_num(
+        np.asarray(r.min_clearance), nan=-np.inf
+    )
+    assert (score(reps)[None] >= score(reps_kb)).all()
     # endpoints of the selected trajectories respect the conditioning
     assert np.allclose(np.asarray(best[:, 0]), np.asarray(sb), atol=0.05)
     assert np.allclose(np.asarray(best[:, -1]), np.asarray(gb), atol=0.05)

@@ -106,3 +106,64 @@ def test_moving_object_no_recompile():
     np.testing.assert_allclose(d1, 0.2, atol=1e-12)
     np.testing.assert_allclose(d2, -0.3, atol=1e-12)
     assert f._cache_size() == 1
+
+
+# ---------------------------------------------------------------------------
+# Named-object registry (reference Scene.add_object/remove_object surface,
+# utils/scene.py:61-138 + bullet_object.py object_mapping)
+# ---------------------------------------------------------------------------
+
+
+import pytest
+
+
+def _tiny_grid(dtype=jnp.float64):
+    # small all-free-space base grid
+    return _flat_grid(value=1.0, n=8, delta=0.25)
+
+
+def test_scene_builder_registry_roundtrip():
+    import numpy as np
+    from vgpmp_tpu.scene import OBJECT_LIBRARY, SceneBuilder
+
+    b = SceneBuilder(base=_tiny_grid(), dtype=jnp.float64)
+    b.add_object("cube", [2.0, 0.0, 0.0])
+    b.add_object("pringles", [0.0, 2.0, 0.0])
+    b.add_object("duck", [0.0, -2.0, 0.0])
+    assert b.names == ["cube", "pringles", "duck"]
+    assert b.get_object_index_by_name("pringles") == 1
+    assert b.get_object_by_index(2).name == "duck"
+
+    scene = b.build()
+    # point inside the cube: negative distance; far point: positive
+    d_in = float(scene.distance(jnp.asarray([2.0, 0.0, 0.0])))
+    d_out = float(scene.distance(jnp.asarray([0.0, 0.0, 0.9])))
+    assert d_in < 0 < d_out
+
+    # removal by name restores the base-only field
+    b.remove_object("cube")
+    b.remove_object_by_index(0)  # pringles
+    b.remove_object("duck")
+    assert b.names == []
+    scene2 = b.build()
+    assert float(scene2.distance(jnp.asarray([2.0, 0.0, 0.0]))) > 0
+
+    with pytest.raises(KeyError):
+        b.add_object("teapot", [0, 0, 0])
+    assert "pringles" in OBJECT_LIBRARY
+
+
+def test_scene_builder_move_preserves_pytree_structure():
+    """Moving an object is array-data only: the rebuilt Scene has the same
+    treedef (no recompile), and the SDF follows the object."""
+    import jax
+    from vgpmp_tpu.scene import SceneBuilder
+
+    b = SceneBuilder(base=_tiny_grid(), dtype=jnp.float64)
+    b.add_object("duck", [2.0, 0.0, 0.0])
+    s1 = b.build()
+    b.move_object("duck", [-2.0, 0.0, 0.0])
+    s2 = b.build()
+    assert jax.tree.structure(s1) == jax.tree.structure(s2)
+    p = jnp.asarray([-2.0, 0.0, 0.05])
+    assert float(s2.distance(p)) < 0 < float(s1.distance(p))

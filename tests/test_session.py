@@ -104,3 +104,16 @@ def test_non_benchmark_mode(tmp_path):
     assert s.model.num_inducing == 6
     np.testing.assert_allclose(s.scene_offset, [0.1, 0.2, 0.3])
     assert s.trainable["lengthscales_u"] is False
+
+
+@pytest.mark.parametrize("robot", ["franka", "kuka", "wam", "ur10"])
+def test_testing_problemset_loads(robot):
+    """The reference's degenerate 'testing' problemsets (all-zero states and
+    params, data/problemsets/*.py 'testing' branches) load as data without
+    building a model/scene."""
+    s = PlanningSession(robot, "testing", dtype=jnp.float64)
+    assert s.model is None and s.scene is None
+    assert len(s.states) == 2
+    assert s.states.shape[1] == s.spec.dof
+    assert s.planner_params["num_steps"] == 0
+    assert s.base_pose.shape == (4, 4)

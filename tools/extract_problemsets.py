@@ -23,10 +23,10 @@ REPO = Path(__file__).resolve().parent.parent
 ASSETS = REPO / "vgpmp_tpu" / "assets" / "problemsets"
 
 ROBOT_ENVS = {
-    "franka": ["industrial", "bookshelves", "boxes"],
-    "kuka": ["industrial", "bookshelves", "boxes"],
-    "wam": ["industrial", "bookshelves", "lab"],
-    "ur10": ["industrial", "bookshelves"],
+    "franka": ["industrial", "bookshelves", "boxes", "testing"],
+    "kuka": ["industrial", "bookshelves", "boxes", "testing"],
+    "wam": ["industrial", "bookshelves", "lab", "testing"],
+    "ur10": ["industrial", "bookshelves", "testing"],
 }
 
 
@@ -49,6 +49,9 @@ def main() -> None:
     ASSETS.mkdir(parents=True, exist_ok=True)
     for robot, envs in ROBOT_ENVS.items():
         cls = load_problemset_class(data_dir / "problemsets" / f"{robot}.py")
+        # preserve TPU-tuned overlays added after extraction
+        prev_path = ASSETS / f"{robot}.json"
+        prev = json.loads(prev_path.read_text()) if prev_path.exists() else {}
         out = {}
         for env in envs:
             try:
@@ -73,6 +76,8 @@ def main() -> None:
                 "environment_position": obj_pos[0],
                 "planner_params": params,
             }
+            if "planner_params_tuned" in prev.get(env, {}):
+                out[env]["planner_params_tuned"] = prev[env]["planner_params_tuned"]
         path = ASSETS / f"{robot}.json"
         path.write_text(json.dumps(out, indent=1))
         print(f"{robot}: {sorted(out)} -> {path}")

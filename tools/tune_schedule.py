@@ -47,7 +47,7 @@ def schedule_arrays(name: str, cfg, dtype) -> tuple[np.ndarray, np.ndarray]:
     elif kind == "cos":  # warmup-cosine peak -> base
         peak, warm = float(rest[0]), int(rest[1])
         warmup = peak * np.minimum(t / max(warm, 1), 1.0)
-        frac = np.clip((t - warm) / max(T - warm - 1, 1), 0.0, 1.0)
+        frac = np.clip((t - warm) / max(T - warm, 1), 0.0, 1.0)  # optax warmup_cosine_decay denominator
         cos = base + 0.5 * (peak - base) * (1 + np.cos(np.pi * frac))
         lr = np.where(t < warm, warmup, cos)
     else:
@@ -82,14 +82,30 @@ def main() -> None:
     from vgpmp_tpu.models import vgpmp as planner
     from vgpmp_tpu.session import PlanningSession
 
-    sess = PlanningSession(args.robot, args.env, dtype=jnp.float32)
+    sess = PlanningSession(args.robot, args.env, dtype=jnp.float32, use_tuned=False)
     model, cfg = sess.model, sess.train_config
     starts, goals = sess.queries()
     B = len(starts)
     sb = jnp.asarray(starts, jnp.float32)
     gb = jnp.asarray(goals, jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(0), B)
-    params0 = solver.init_batch(model, starts, goals, sess.planner_params)
+    # init params are INPUTS to the compiled solve, so the restart ensemble
+    # (linear + zeros q_mu) is evaluated on the same executable for free
+    def init_with(interp):
+        pp = sess.planner_params
+        return jax.vmap(
+            lambda s, g: planner.init_params(
+                model, s, g,
+                lengthscales=np.asarray(pp["lengthscales"], np.float64),
+                variance=float(pp["variance"]),
+                sigma_obs=float(pp["sigma_obs"]),
+                alpha=float(pp["alpha"]),
+                interpolation=interp,
+            )
+        )(jnp.asarray(starts), jnp.asarray(goals))
+
+    params_by_init = {i: init_with(i) for i in ("linear", "zeros", "waypoint")}
+    params0 = params_by_init["linear"]
     dtype = model.limits_low.dtype
     X = jnp.linspace(0.0, 1.0, cfg.time_spacing_X, dtype=dtype)
     Xnew = jnp.linspace(0.0, 1.0, cfg.time_spacing_Xnew, dtype=dtype)
@@ -134,13 +150,23 @@ def main() -> None:
     print(f"{args.robot}/{args.env}: B={B}, budget={cfg.num_steps} steps, lr={cfg.learning_rate}")
     for name in args.schedules:
         lr_t, sigma_t = schedule_arrays(name, cfg, np.float32)
-        t0 = time.time()
-        best = solve_b(params0, sb, gb, keys, jnp.asarray(lr_t), jnp.asarray(sigma_t))
-        best.block_until_ready()
-        dt = time.time() - t0
-        reps = val(best, sb, gb)
-        rate = float(np.mean(np.asarray(reps.success)))
-        print(f"{name:<18s} success={rate:.3f}  ({dt:.1f} s)")
+        succ = {}
+        dts = {}
+        for init, p0 in params_by_init.items():
+            t0 = time.time()
+            best = solve_b(p0, sb, gb, keys, jnp.asarray(lr_t), jnp.asarray(sigma_t))
+            best.block_until_ready()
+            dts[init] = time.time() - t0
+            reps = val(best, sb, gb)
+            succ[init] = np.asarray(reps.success)
+        union2 = succ["linear"] | succ["zeros"]
+        union3 = union2 | succ["waypoint"]
+        print(
+            f"{name:<18s} linear={succ['linear'].mean():.3f} "
+            f"zeros={succ['zeros'].mean():.3f} wp={succ['waypoint'].mean():.3f} "
+            f"union2={union2.mean():.3f} union3={union3.mean():.3f}  "
+            f"({dts['linear']:.1f} s/run)"
+        )
 
 
 if __name__ == "__main__":

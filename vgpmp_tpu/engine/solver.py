@@ -61,6 +61,14 @@ class TrainConfig:
     # 0: record ELBO only; 1: also per-step KL / expected log-lik /
     # min clearance / mean hinge (one extra clearance reduction per step)
     log_level: int = struct.field(pytree_node=False, default=0)
+    # 2-sigma end-effector position spread across the posterior samples
+    # (the reference returns this from sample_from_posterior,
+    # models/vgpmp.py:322-331; one chunked FK pass over the samples)
+    ee_uncertainty: bool = struct.field(pytree_node=False, default=True)
+    # redraw the training time grid as sorted uniform timesteps once per
+    # solve (the reference's training_loop(randomize=True),
+    # utils/miscellaneous.py:90-95)
+    randomize_timesteps: bool = struct.field(pytree_node=False, default=False)
 
 
 def default_trainable() -> dict:
@@ -91,8 +99,14 @@ class SolveResult(NamedTuple):
     mean: jnp.ndarray         # [Nnew, L] analytic posterior mean (constrained)
     best_score: jnp.ndarray   # [] collision log-density of the best sample
     elbo_history: jnp.ndarray  # [num_steps]
+    # [] bool: this problem's optimization diverged (non-finite trajectory or
+    # final ELBO). Isolated per batch row — one diverged problem cannot
+    # corrupt its neighbors, and the flag surfaces it in metrics instead of
+    # silently NaN-ing (the reference has no such guard).
+    failed: Optional[jnp.ndarray] = None
     samples: Optional[jnp.ndarray] = None  # [K, Nnew, L] first samples
     logs: Optional[dict] = None  # per-step metrics when cfg.log_level >= 1
+    ee_uncertainty: Optional[jnp.ndarray] = None  # [Nnew, 3] 2-sigma EE spread
 
 
 def make_single_solver(
@@ -119,8 +133,11 @@ def make_single_solver(
     X = jnp.linspace(0.0, 1.0, cfg.time_spacing_X, dtype=dtype)
     Xnew = jnp.linspace(0.0, 1.0, cfg.time_spacing_Xnew, dtype=dtype)
     if cfg.lr_peak > 0.0:
+        # clamp warmup below the step budget (tiny test budgets shrink
+        # num_steps under a problemset's tuned warmup_steps)
+        warmup = min(cfg.warmup_steps, max(cfg.num_steps - 1, 1))
         lr = optax.warmup_cosine_decay_schedule(
-            0.0, cfg.lr_peak, cfg.warmup_steps, cfg.num_steps, cfg.learning_rate
+            0.0, cfg.lr_peak, warmup, cfg.num_steps, cfg.learning_rate
         )
     else:
         lr = cfg.learning_rate
@@ -133,26 +150,63 @@ def make_single_solver(
     else:
         sigma_scale_fn = None
 
+    def _log_prior(p, anchors):
+        """Normal log-priors on trainable sigma_obs/alpha, anchored at their
+        init values (``miscellaneous.py:324-343``: Normal(init, 1e-4) on the
+        likelihood variance, Normal(init, 5) on alpha; GPflow adds
+        log_prior_density to the training loss)."""
+
+        def normal_lp(x, mu, s):
+            return jnp.sum(-0.5 * ((x - mu) / s) ** 2 - jnp.log(s)
+                           - 0.5 * jnp.log(2 * jnp.pi).astype(x.dtype))
+
+        c = planner.constrain(p, model.variance_lower)
+        lp = jnp.zeros((), dtype)
+        if trainable.get("sigma_obs_u", False):
+            lp += normal_lp(c["sigma_obs"], anchors[0], jnp.asarray(1e-4, dtype))
+        if trainable.get("alpha_u", False):
+            lp += normal_lp(c["alpha"], anchors[1], jnp.asarray(5.0, dtype))
+        return lp
+
+    has_priors = trainable.get("sigma_obs_u", False) or trainable.get("alpha_u", False)
+
     def solve(params: planner.PlannerParams, start, goal, key):
         mask = _mask_pytree(params, trainable)
         opt_state = opt.init(params)
+        if has_priors:
+            c0 = planner.constrain(params, model.variance_lower)
+            anchors = (
+                jax.lax.stop_gradient(c0["sigma_obs"]),
+                jax.lax.stop_gradient(c0["alpha"]),
+            )
+        else:
+            anchors = None
         if sample_axis is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(sample_axis))
+        if cfg.randomize_timesteps:
+            key, sub = jax.random.split(key)
+            X_train = jnp.sort(
+                jax.random.uniform(sub, X.shape, dtype=dtype, minval=X[0], maxval=X[-1])
+            )
+        else:
+            X_train = X
 
         if cfg.log_level >= 1:
             def loss_fn(p, k, ss):
                 value, aux = planner.elbo_with_aux(
-                    p, model, start, goal, X, k, sample_axis=sample_axis,
+                    p, model, start, goal, X_train, k, sample_axis=sample_axis,
                     sigma_scale=ss,
                 )
+                if has_priors:
+                    value = value + _log_prior(p, anchors)
                 return -value, aux
         else:
             def loss_fn(p, k, ss):
-                return (
-                    -planner.elbo(p, model, start, goal, X, k,
-                                  sample_axis=sample_axis, sigma_scale=ss),
-                    {},
-                )
+                value = planner.elbo(p, model, start, goal, X_train, k,
+                                     sample_axis=sample_axis, sigma_scale=ss)
+                if has_priors:
+                    value = value + _log_prior(p, anchors)
+                return -value, {}
 
         def step(carry, xs):
             k, i = xs
@@ -175,13 +229,27 @@ def make_single_solver(
             params, model, start, goal, Xnew, keys[-1], cfg.num_posterior_samples,
             sample_axis=sample_axis,
         )
+        failed = ~(
+            jnp.all(jnp.isfinite(best)) & jnp.isfinite(elbo_hist[-1])
+        )
+        ee_unc = None
+        if cfg.ee_uncertainty:
+            from vgpmp_tpu.engine.analysis import ee_positions
+
+            ee = jax.lax.map(
+                lambda s: ee_positions(model.collision.fk, s), samples,
+                batch_size=16,
+            )  # [S, Nnew, 3]
+            ee_unc = 2.0 * jnp.std(ee, axis=0)
         result = SolveResult(
             best=best,
             mean=mean,
             best_score=jnp.max(scores),
             elbo_history=elbo_hist,
+            failed=failed,
             samples=samples[:keep_samples] if keep_samples else None,
             logs=logs if cfg.log_level >= 1 else None,
+            ee_uncertainty=ee_unc,
         )
         return params, result
 
@@ -208,6 +276,7 @@ def make_ensemble_solver(
     model: planner.PlannerModel,
     cfg: TrainConfig,
     trainable: Optional[dict] = None,
+    keep_member_reports: bool = False,
 ):
     """Multi-restart solver: K inits per problem, best validated one wins.
 
@@ -224,7 +293,8 @@ def make_ensemble_solver(
     reports, chosen_init [B])`` where ``params_kb``/``keys_kb`` carry a
     leading ``[K, B]`` axis (see :func:`init_ensemble`). Selection prefers
     validator success, then larger worst-case clearance (ties broken toward
-    init 0).
+    init 0). With ``keep_member_reports`` the per-member ``[K, B]`` reports
+    are appended to the return tuple (for selection-invariant checks).
     """
     from vgpmp_tpu.engine.validator import validate_trajectory
 
@@ -246,12 +316,17 @@ def make_ensemble_solver(
         score = (
             reps_kb.success.astype(jnp.float32) * 1e3 + reps_kb.min_clearance
         )  # [K, B]
+        # a diverged (NaN) restart must never win the argmax (NaN compares as
+        # maximal there) — sanitize to -inf so a finite restart is preferred
+        score = jnp.where(jnp.isnan(score), -jnp.inf, score)
         chosen = jnp.argmax(score, axis=0)  # [B]
         take = lambda x: jnp.take_along_axis(
             x, chosen.reshape((1, -1) + (1,) * (x.ndim - 2)), axis=0
         )[0]
         best = take(best_kb)
         reps = jax.tree.map(take, reps_kb)
+        if keep_member_reports:
+            return best, reps, chosen, reps_kb
         return best, reps, chosen
 
     return solve

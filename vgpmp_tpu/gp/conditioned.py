@@ -92,7 +92,9 @@ def kuf(
     return kernel(zy(ny, Z), Xb, lengthscales, variance)
 
 
-def cholesky_kuu(*args, escalations: int = 0, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def cholesky_kuu(
+    *args, escalations: int = 0, with_info: bool = False, **kwargs
+) -> Tuple[jnp.ndarray, ...]:
     """Convenience: (Kuu, chol(Kuu)) — both ``[L, Mc, Mc]``.
 
     ``escalations``: Cholesky-failure sanitizer — if the factorization
@@ -100,15 +102,24 @@ def cholesky_kuu(*args, escalations: int = 0, **kwargs) -> Tuple[jnp.ndarray, jn
     compiled ``where``-select chain (each retry is one extra tiny batched
     Cholesky; no host round-trip). The reference has no equivalent guard —
     a failed Cholesky NaNs its whole step silently.
+
+    ``with_info``: also return the number of latent rows whose factorization
+    needed at least one escalation (int32 scalar) — escalation *telemetry*,
+    surfaced per step by ``elbo_with_aux`` so runs can report when the
+    sanitizer actually fired instead of hiding it.
     """
     K = kuu(*args, **kwargs)
     chol = linalg.chol(K)
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     jitter = kwargs.get("jitter", 1e-6)
+    ever_bad = jnp.zeros((K.shape[0],), dtype=bool)
     for e in range(escalations):
-        bad = ~jnp.all(jnp.isfinite(chol), axis=(-2, -1), keepdims=True)  # [L,1,1]
+        bad = ~jnp.all(jnp.isfinite(chol), axis=(-2, -1))  # [L]
+        ever_bad = ever_bad | bad
         K_retry = K + (10.0 ** (e + 1)) * jitter * eye
         chol_retry = linalg.chol(K_retry)
-        chol = jnp.where(bad, chol_retry, chol)
-        K = jnp.where(bad, K_retry, K)
+        chol = jnp.where(bad[:, None, None], chol_retry, chol)
+        K = jnp.where(bad[:, None, None], K_retry, K)
+    if with_info:
+        return K, chol, jnp.sum(ever_bad.astype(jnp.int32))
     return K, chol

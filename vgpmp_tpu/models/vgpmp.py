@@ -192,7 +192,7 @@ def _kernel_fn(model: PlannerModel):
     return kernel_ops.KERNELS[model.kernel][0]
 
 
-def _gram(model: PlannerModel, c: dict):
+def _gram(model: PlannerModel, c: dict, with_info: bool = False):
     if model.velocity_constrained:
         assert model.kernel == "matern52", "velocity conditioning supports matern52 only"
         Kuu = velocity.kuu_velocity(
@@ -201,13 +201,15 @@ def _gram(model: PlannerModel, c: dict):
         )
         from vgpmp_tpu.ops import linalg as _lin
 
-        return Kuu, _lin.chol(Kuu)
-    Kuu, chol = conditioned.cholesky_kuu(
+        chol = _lin.chol(Kuu)
+        if with_info:
+            return Kuu, chol, jnp.zeros((), jnp.int32)
+        return Kuu, chol
+    return conditioned.cholesky_kuu(
         _kernel_fn(model), model.ny, c["Z"], c["lengthscales"], c["variance"],
         jitter=model.jitter, solve_dtype=model.solve_dtype,
-        escalations=model.jitter_escalations,
+        escalations=model.jitter_escalations, with_info=with_info,
     )
-    return Kuu, chol
 
 
 def _kuf(model: PlannerModel, c: dict, X: jnp.ndarray) -> jnp.ndarray:
@@ -307,7 +309,7 @@ def elbo_with_aux(
     """
     c = constrain(params, model.variance_lower)
     q_lat = query_latent(model, start, goal)
-    Kuu, chol = _gram(model, c)
+    Kuu, chol, esc = _gram(model, c, with_info=True)
     q_mu_full = _q_mu_full(model, c, q_lat)
     state = pathwise.draw_paths(
         key, model.ny, c["Z"], c["lengthscales"], c["variance"], chol,
@@ -337,6 +339,7 @@ def elbo_with_aux(
         "expected_log_lik": lik_total,
         "min_clearance": jnp.min(clearance),
         "mean_hinge_cost": jnp.mean(cost),
+        "jitter_escalations": esc,
     }
     return value, aux
 

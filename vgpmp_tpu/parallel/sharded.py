@@ -85,15 +85,22 @@ def make_sharded_solver(
             w = mask_b.astype(res.best.dtype)
             denom = jax.lax.psum(jnp.sum(w), DP_AXIS)
             solved = jax.lax.psum(jnp.sum(reps.success * w), DP_AXIS)
+            # per-problem failure isolation: a diverged (NaN) row is counted,
+            # not propagated — clearance aggregates exclude it
+            wf = w * (1.0 - res.failed.astype(w.dtype))
             metrics = {
                 "success_rate": solved / denom,
                 "num_problems": denom,
+                "num_failed": jax.lax.psum(
+                    jnp.sum(res.failed.astype(w.dtype) * w), DP_AXIS
+                ),
                 "mean_min_clearance": jax.lax.psum(
-                    jnp.sum(reps.min_clearance * w), DP_AXIS
+                    jnp.sum(jnp.nan_to_num(reps.min_clearance) * wf), DP_AXIS
                 )
-                / denom,
+                / jnp.maximum(jax.lax.psum(jnp.sum(wf), DP_AXIS), 1.0),
                 "success": reps.success,
                 "min_clearance": reps.min_clearance,
+                "failed": res.failed,
             }
         else:
             metrics = {}
@@ -105,9 +112,11 @@ def make_sharded_solver(
         {
             "success_rate": P(),
             "num_problems": P(),
+            "num_failed": P(),
             "mean_min_clearance": P(),
             "success": P(DP_AXIS),
             "min_clearance": P(DP_AXIS),
+            "failed": P(DP_AXIS),
         }
         if validate
         else {},

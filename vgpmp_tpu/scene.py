@@ -15,9 +15,11 @@ moved objects is just a new pytree — no recompilation (shapes unchanged).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from vgpmp_tpu.sdf.grid import (
@@ -28,7 +30,7 @@ from vgpmp_tpu.sdf.grid import (
     trilinear_distance,
 )
 
-__all__ = ["Primitives", "Scene"]
+__all__ = ["Primitives", "Scene", "SceneBuilder", "OBJECT_LIBRARY"]
 
 _BIG = 1e9
 
@@ -130,3 +132,158 @@ class Scene:
         if self.primitives is not None:
             d = jnp.minimum(d, self.primitives.distance(points))
         return d
+
+
+# ---------------------------------------------------------------------------
+# Named-object registry (the reference Scene/BaseObject surface)
+# ---------------------------------------------------------------------------
+
+# Reference ``object_mapping`` (``utils/bullet_object.py:13-19``) maps names to
+# PyBullet-data URDFs; here each supported name maps to an analytic SDF spec
+# (kind, params in the object's local frame) with the same nominal dimensions:
+# plane = the ground (z >= 0 half-space is the *free* side, so it contributes
+# a box slab), cube = 1 m cube, table = pybullet table tabletop, duck ~ 0.1 m
+# ball, pringles = 0.23 m x 0.04 m capsule can (reference
+# ``data/objects/pringles.urdf``; its textured.obj mesh is not shipped in the
+# reference repo, so the canonical-dimensions capsule is the SDF stand-in).
+OBJECT_LIBRARY: Dict[str, Dict[str, Any]] = {
+    "cube": {"kind": "box", "half_extents": [0.5, 0.5, 0.5]},
+    "table": {"kind": "box", "half_extents": [0.75, 0.5, 0.03], "local_z": 0.625},
+    "duck": {"kind": "sphere", "radius": 0.05, "local_z": 0.05},
+    "pringles": {"kind": "capsule", "radius": 0.04, "height": 0.23},
+}
+
+
+@dataclass
+class _SceneObject:
+    name: str
+    kind: str            # 'sphere' | 'box' | 'capsule' | 'grid'
+    position: np.ndarray  # [3] world
+    spec: Dict[str, Any]
+    grid: Optional[SdfGrid] = None
+
+
+@dataclass
+class SceneBuilder:
+    """Host-side named-object scene registry -> compiled :class:`Scene`.
+
+    Mirrors the reference Scene API (``utils/scene.py:61-138``): objects are
+    added/removed/looked up **by name or index**; :meth:`build` composes the
+    current object set into the pytree :class:`Scene` the planner consumes.
+    Because object *poses* are array data, moving an object and rebuilding
+    reuses the compiled planner (same pytree structure); adding/removing an
+    object changes primitive batch sizes and recompiles once.
+    """
+
+    base: SdfGrid
+    base_offset: Any = (0.0, 0.0, 0.0)
+    mode: str = "nearest"
+    dtype: Any = jnp.float32
+    objects: List[_SceneObject] = field(default_factory=list)
+
+    # -- reference Scene.add_object (utils/scene.py:61-83) ------------------
+    def add_object(
+        self,
+        name: str,
+        position,
+        grid: Optional[SdfGrid] = None,
+        spec: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """Add a named object at a world position.
+
+        ``name`` may be a library name (``OBJECT_LIBRARY``), or pass an
+        explicit analytic ``spec`` / voxel ``grid`` (mesh pipeline output).
+        """
+        if grid is not None:
+            obj = _SceneObject(name, "grid", np.asarray(position, float), {}, grid)
+        else:
+            s = spec if spec is not None else OBJECT_LIBRARY.get(name)
+            if s is None:
+                raise KeyError(
+                    f"Object {name!r} not found in the object library of supported "
+                    f"objects and no explicit spec/grid given; supported: "
+                    f"{sorted(OBJECT_LIBRARY)}"
+                )  # message parity: bullet_object.py:59
+            obj = _SceneObject(name, s["kind"], np.asarray(position, float), dict(s))
+        self.objects.append(obj)
+
+    # -- lookups (utils/scene.py:85-112) -------------------------------------
+    def get_object_index_by_name(self, name: str) -> int:
+        for i, o in enumerate(self.objects):
+            if o.name == name:
+                return i
+        raise KeyError(name)
+
+    def get_object_by_name(self, name: str) -> _SceneObject:
+        return self.objects[self.get_object_index_by_name(name)]
+
+    def get_object_by_index(self, index: int) -> _SceneObject:
+        return self.objects[index]
+
+    @property
+    def names(self) -> List[str]:
+        return [o.name for o in self.objects]
+
+    # -- removal (utils/scene.py:114-138) ------------------------------------
+    def remove_object(self, name: str) -> None:
+        del self.objects[self.get_object_index_by_name(name)]
+
+    def remove_object_by_index(self, index: int) -> None:
+        del self.objects[index]
+
+    def move_object(self, name: str, position) -> None:
+        self.get_object_by_name(name).position = np.asarray(position, float)
+
+    # -- compose -------------------------------------------------------------
+    def build(self) -> Scene:
+        dt = self.dtype
+        sph_c, sph_r = [], []
+        box_c, box_R, box_h = [], [], []
+        cap_a, cap_b, cap_r = [], [], []
+        grids, offsets = [], []
+        for o in self.objects:
+            p = o.position.copy()
+            p[2] += float(o.spec.get("local_z", 0.0))
+            if o.kind == "sphere":
+                sph_c.append(p)
+                sph_r.append(o.spec["radius"])
+            elif o.kind == "box":
+                box_c.append(p)
+                box_R.append(np.eye(3))
+                box_h.append(o.spec["half_extents"])
+            elif o.kind == "capsule":
+                h = o.spec["height"] - 2 * o.spec["radius"]
+                cap_a.append(p + [0, 0, o.spec["radius"]])
+                cap_b.append(p + [0, 0, o.spec["radius"] + max(h, 0.0)])
+                cap_r.append(o.spec["radius"])
+            elif o.kind == "grid":
+                grids.append(o.grid)
+                offsets.append(p)
+            else:
+                raise ValueError(o.kind)
+
+        prims = None
+        if sph_c or box_c or cap_a:
+            e = Primitives.empty(dt)
+            as_a = lambda x, s: jnp.asarray(np.asarray(x, float).reshape(s), dt)
+            prims = Primitives(
+                sphere_centers=as_a(sph_c, (-1, 3)) if sph_c else e.sphere_centers,
+                sphere_radii=as_a(sph_r, (-1,)) if sph_c else e.sphere_radii,
+                box_centers=as_a(box_c, (-1, 3)) if box_c else e.box_centers,
+                box_rotations=as_a(box_R, (-1, 3, 3)) if box_c else e.box_rotations,
+                box_half_extents=as_a(box_h, (-1, 3)) if box_c else e.box_half_extents,
+                capsule_a=as_a(cap_a, (-1, 3)) if cap_a else e.capsule_a,
+                capsule_b=as_a(cap_b, (-1, 3)) if cap_a else e.capsule_b,
+                capsule_radii=as_a(cap_r, (-1,)) if cap_a else e.capsule_radii,
+            )
+        scene = Scene(
+            base=self.base,
+            base_offset=jnp.asarray(np.asarray(self.base_offset, float), dt),
+            extra_grids=tuple(grids),
+            extra_offsets=jnp.asarray(np.asarray(offsets, float), dt) if grids else None,
+            primitives=prims,
+            mode="nearest" if self.mode == "packed" else self.mode,
+        )
+        if self.mode == "packed":
+            scene = scene.packed()
+        return scene

@@ -69,6 +69,10 @@ class PlanningSession:
     # (default; ~3.5x fewer SDF gathers per step). 'nearest' = exact f32
     # reference parity; 'trilinear' = C0 interpolation.
     sdf_mode: str = "packed"
+    # apply the problemset's ``planner_params_tuned`` overlay (schedule /
+    # restart settings measured on TPU; same step+sample budget as the raw
+    # reference params). False = the exact reference hyperparameters.
+    use_tuned: bool = True
     overrides: Dict[str, Any] = field(default_factory=dict)
     # non-benchmark mode (reference ``non_benchmark_attributes``): supply
     # explicit states/pose/params and a scene name instead of a problemset
@@ -121,12 +125,21 @@ class PlanningSession:
             ps = problemsets[self.problemset_name]
         self.states = np.asarray(ps["states"], dtype=np.float64)
         self.planner_params: Dict[str, Any] = dict(ps["planner_params"])
+        if self.use_tuned:
+            self.planner_params.update(ps.get("planner_params_tuned", {}))
         self.planner_params.update(self.overrides)
 
         self.base_pose = base_pose_matrix(
             ps["robot_position"], ps["robot_orientation_xyzw"]
         )
         self.scene_offset = np.asarray(ps["environment_position"], dtype=np.float64)
+
+        # degenerate problemsets ('testing': all-zero states and params, used
+        # by the reference's config tests only — data/problemsets/franka.py:42-51,
+        # :119-132) load states/pose/params but carry no scene or model
+        if int(self.planner_params.get("num_steps", 0)) == 0:
+            self.sdf = self.scene = self.model = self.train_config = None
+            return
 
         sdf_path = ASSET_DIR / "scenes" / f"{self.problemset_name}.npz"
         self.sdf = SdfGrid.load(sdf_path, dtype=self.dtype)

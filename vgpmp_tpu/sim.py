@@ -110,3 +110,80 @@ class PhysicsExecutor:
             if not self.move_to(waypoint):
                 return False
         return True
+
+
+# ---------------------------------------------------------------------------
+# Simulator-free kinematic executor (validator calibration)
+# ---------------------------------------------------------------------------
+#
+# pybullet cannot be installed in every environment (it is absent from this
+# image), so validator calibration needs a physically-grounded executor that
+# reproduces the *mechanism* by which the reference's metric fails: a PD
+# position controller cannot push the arm through an obstacle
+# (``utils/robot.py:416-453`` — waypoint unreached within 2000 steps => fail).
+#
+# Model: per-joint velocity-capped approach to each waypoint (PyBullet
+# POSITION_CONTROL with force=500 / maxVelocity=0.5 acts as a strong motor
+# whose joints track the target at <= vmax rad/s), with a contact constraint:
+# a step that would deepen the worst sphere penetration beyond its current
+# level is blocked (the obstacle stops the arm; resting/grazing contact may
+# persist but cannot deepen). Deterministic dynamics => a blocked state stays
+# blocked, so the executor exits early instead of spinning 2000 iterations.
+
+
+def kinematic_execute_trajectory(
+    collision,
+    trajectory,
+    dt: float = 1.0 / 240.0,
+    vmax: float = 0.5,
+    tol: float = 0.05,
+    max_iters: int = 2000,
+    contact_slack: float = 1e-3,
+):
+    """Execute ``trajectory [T, L]`` under the contact-blocking PD model.
+
+    Returns ``(success [] bool, reached [T] bool, q_final [L])`` — jittable /
+    vmappable (pure JAX). Constants mirror the reference controller: 0.05 rad
+    tolerance, 2000-iteration budget per waypoint, 0.5 rad/s velocity cap,
+    240 Hz stepping.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    traj = jnp.asarray(trajectory)
+    step_cap = vmax * dt
+
+    def clearance(q):
+        return jnp.min(collision.sphere_clearance(q))
+
+    def move_to(q, target):
+        def cond(state):
+            q, it, reached, stuck = state
+            return ~(reached | stuck) & (it < max_iters)
+
+        def body(state):
+            q, it, _, _ = state
+            q_new = q + jnp.clip(target - q, -step_cap, step_cap)
+            c_cur = clearance(q)
+            c_new = clearance(q_new)
+            # contact rule: never deepen the worst penetration (grazing /
+            # grasp-pose contact at <= current depth is allowed)
+            allowed = c_new >= jnp.minimum(0.0, c_cur) - contact_slack
+            q2 = jnp.where(allowed, q_new, q)
+            reached = jnp.max(jnp.abs(q2 - target)) <= tol
+            return q2, it + 1, reached, ~allowed
+
+        reached0 = jnp.max(jnp.abs(q - target)) <= tol
+        q, it, reached, stuck = jax.lax.while_loop(
+            cond, body, (q, jnp.zeros((), jnp.int32), reached0, jnp.zeros((), bool))
+        )
+        return q, reached
+
+    def scan_fn(carry, target):
+        q, ok = carry
+        q, reached = move_to(q, target)
+        return (q, ok & reached), reached
+
+    q0 = traj[0]
+    (q_final, success), reached = jax.lax.scan(scan_fn, (q0, jnp.ones((), bool)), traj)
+    return success, reached, q_final
