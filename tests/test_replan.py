@@ -102,3 +102,76 @@ def test_checkpoint_roundtrip(tmp_path, session, batch):
     np.testing.assert_allclose(
         np.asarray(params.q_mu), restored["q_mu"], atol=0
     )
+
+
+def test_resumable_solver_chunked_equals_oneshot(tmp_path, session):
+    """Mid-run checkpointing: full budget as 2 chunks with an orbax
+    save/restore of TrainState between them reproduces the single-chunk
+    result exactly (same per-step keys)."""
+    from vgpmp_tpu.utils.checkpoint import restore_train_state, save_train_state
+
+    sess = session
+    cfg = sess.train_config.replace(
+        num_steps=10, lr_peak=0.1, warmup_steps=3, sigma_anneal=5.0,
+        num_posterior_samples=4, time_spacing_X=8, time_spacing_Xnew=10,
+    )
+    starts, goals = sess.queries()
+    s0 = jnp.asarray(starts[0], jnp.float64)
+    g0 = jnp.asarray(goals[0], jnp.float64)
+    p0 = jax.tree.map(
+        lambda x: x[0],
+        solver.init_batch(sess.model, starts[:1], goals[:1], sess.planner_params),
+    )
+    init_state, train_chunk, extract = solver.make_resumable_solver(sess.model, cfg)
+    train_j = jax.jit(train_chunk)
+    step_keys = jax.random.split(jax.random.PRNGKey(7), cfg.num_steps)
+    extract_key = jax.random.PRNGKey(8)
+
+    # one shot
+    st = init_state(p0)
+    st, hist_full = train_j(st, s0, g0, step_keys)
+    res_full = extract(st, s0, g0, extract_key)
+
+    # two chunks + checkpoint between
+    st2 = init_state(p0)
+    st2, h1 = train_j(st2, s0, g0, step_keys[:5])
+    save_train_state(tmp_path / "mid", st2)
+    st2 = restore_train_state(tmp_path / "mid", template=init_state(p0))
+    st2, h2 = train_j(st2, s0, g0, step_keys[5:])
+    res_chunked = extract(st2, s0, g0, extract_key)
+
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(h1), np.asarray(h2)]), np.asarray(hist_full)
+    )
+    np.testing.assert_array_equal(np.asarray(res_full.best), np.asarray(res_chunked.best))
+
+
+def test_receding_horizon_corrects_disturbances(session, batch):
+    """With execution noise, closed-loop replanning still reaches the goal
+    while the open-loop endpoint is off by the accumulated disturbance —
+    the warm start demonstrably earns its keep."""
+    params, starts, goals = batch
+    full = TrainConfig(num_steps=8, learning_rate=0.05, time_spacing_X=10,
+                       time_spacing_Xnew=30, num_posterior_samples=6)
+    quick = full.replace(num_steps=6)
+    noise = 0.15  # rad per cycle: way beyond the 0.05 goal tolerance
+    res = replan.run_receding_horizon(
+        session.model, full, quick, params, starts, goals,
+        jax.random.PRNGKey(0), cycles=3, advance=8, noise_scale=noise,
+    )
+    # closed loop absorbs the disturbances (the final cycle replans from the
+    # last disturbed state, and plans are goal-clamped)
+    assert np.all(np.asarray(res.final_error) < 0.05), np.asarray(res.final_error)
+
+    # open loop: execute the cycle-0 plan to the end, then apply the same
+    # number of disturbances without replanning — endpoint error >> tol
+    key = jax.random.PRNGKey(0)
+    _, res0 = jax.jit(jax.vmap(
+        solver.make_single_solver(session.model, full)
+    ))(params, starts, goals, jax.random.split(jax.random.PRNGKey(1), 2))
+    end = np.asarray(res0.best[:, -1, :])
+    rng = np.random.default_rng(0)
+    for _ in range(2):
+        end = end + noise * rng.standard_normal(end.shape)
+    open_err = np.abs(end - np.asarray(goals)).max(-1)
+    assert np.all(open_err > 0.05)

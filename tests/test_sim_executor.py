@@ -86,3 +86,25 @@ def test_grazing_contact_tolerated(sess):
         lambda t: kinematic_execute_trajectory(sess.model.collision, t)
     )(traj)
     assert bool(ok)
+
+
+def test_validator_velocity_limits(sess):
+    """velocity_ok gates success: a trajectory executed too fast violates the
+    RobotSpec velocity limits; slow enough, it passes."""
+    from vgpmp_tpu.engine.validator import validate_trajectory
+
+    states = sess.states
+    a = np.asarray(states[0])
+    b = a + 0.3
+    traj = _lin(a, b, 20)
+    vlim = jnp.asarray(np.asarray(sess.spec.velocity_limits))
+    kw = dict(
+        limits_low=sess.model.limits_low, limits_high=sess.model.limits_high,
+        velocity_limits=vlim,
+    )
+    fast = validate_trajectory(sess.model.collision, traj, traj[0], traj[-1],
+                               duration=0.001, **kw)
+    slow = validate_trajectory(sess.model.collision, traj, traj[0], traj[-1],
+                               duration=10.0, **kw)
+    assert not bool(fast.velocity_ok) and not bool(fast.success)
+    assert bool(slow.velocity_ok)

@@ -75,6 +75,13 @@ def main() -> None:
             "cos:0.10:10:30",
         ],
     )
+    ap.add_argument(
+        "--hypers",
+        nargs="*",
+        default=["ref"],
+        help="init-hyperparameter variants 'name:variance:ls_scale:sigma_obs' "
+        "('-' keeps the problemset default); evaluated without recompiling",
+    )
     args = ap.parse_args()
 
     from vgpmp_tpu.engine import solver
@@ -90,22 +97,38 @@ def main() -> None:
     gb = jnp.asarray(goals, jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     # init params are INPUTS to the compiled solve, so the restart ensemble
-    # (linear + zeros q_mu) is evaluated on the same executable for free
-    def init_with(interp):
+    # (linear + zeros q_mu) AND kernel/likelihood init-hyperparameter variants
+    # (variance / lengthscale / sigma_obs) are all evaluated on the same
+    # executable for free — only shapes (M, S, N) and epsilon recompile.
+    def init_with(interp, variance=None, ls_scale=1.0, sigma_obs=None):
         pp = sess.planner_params
         return jax.vmap(
             lambda s, g: planner.init_params(
                 model, s, g,
-                lengthscales=np.asarray(pp["lengthscales"], np.float64),
-                variance=float(pp["variance"]),
-                sigma_obs=float(pp["sigma_obs"]),
+                lengthscales=np.asarray(pp["lengthscales"], np.float64) * ls_scale,
+                variance=float(variance if variance is not None else pp["variance"]),
+                sigma_obs=float(sigma_obs if sigma_obs is not None else pp["sigma_obs"]),
                 alpha=float(pp["alpha"]),
                 interpolation=interp,
             )
         )(jnp.asarray(starts), jnp.asarray(goals))
 
-    params_by_init = {i: init_with(i) for i in ("linear", "zeros", "waypoint")}
-    params0 = params_by_init["linear"]
+    # hyper variants: "name:variance:ls_scale:sigma_obs" ('-' keeps default)
+    def parse_hyper(h):
+        name, v, lss, so = (h.split(":") + ["-", "-", "-"])[:4]
+        return name, dict(
+            variance=None if v in ("-", "") else float(v),
+            ls_scale=1.0 if lss in ("-", "") else float(lss),
+            sigma_obs=None if so in ("-", "") else float(so),
+        )
+
+    hypers = [parse_hyper(h) for h in args.hypers]
+    params_sets = {
+        (hname, interp): init_with(interp, **hkw)
+        for hname, hkw in hypers
+        for interp in ("linear", "zeros", "waypoint")
+    }
+    params0 = params_sets[(hypers[0][0], "linear")]
     dtype = model.limits_low.dtype
     X = jnp.linspace(0.0, 1.0, cfg.time_spacing_X, dtype=dtype)
     Xnew = jnp.linspace(0.0, 1.0, cfg.time_spacing_Xnew, dtype=dtype)
@@ -148,25 +171,27 @@ def main() -> None:
     )
 
     print(f"{args.robot}/{args.env}: B={B}, budget={cfg.num_steps} steps, lr={cfg.learning_rate}")
-    for name in args.schedules:
-        lr_t, sigma_t = schedule_arrays(name, cfg, np.float32)
-        succ = {}
-        dts = {}
-        for init, p0 in params_by_init.items():
-            t0 = time.time()
-            best = solve_b(p0, sb, gb, keys, jnp.asarray(lr_t), jnp.asarray(sigma_t))
-            best.block_until_ready()
-            dts[init] = time.time() - t0
-            reps = val(best, sb, gb)
-            succ[init] = np.asarray(reps.success)
-        union2 = succ["linear"] | succ["zeros"]
-        union3 = union2 | succ["waypoint"]
-        print(
-            f"{name:<18s} linear={succ['linear'].mean():.3f} "
-            f"zeros={succ['zeros'].mean():.3f} wp={succ['waypoint'].mean():.3f} "
-            f"union2={union2.mean():.3f} union3={union3.mean():.3f}  "
-            f"({dts['linear']:.1f} s/run)"
-        )
+    for hname, _ in hypers:
+        for name in args.schedules:
+            lr_t, sigma_t = schedule_arrays(name, cfg, np.float32)
+            succ = {}
+            dt = 0.0
+            for interp in ("linear", "zeros", "waypoint"):
+                p0 = params_sets[(hname, interp)]
+                t0 = time.time()
+                best = solve_b(p0, sb, gb, keys, jnp.asarray(lr_t), jnp.asarray(sigma_t))
+                best.block_until_ready()
+                dt = time.time() - t0
+                reps = val(best, sb, gb)
+                succ[interp] = np.asarray(reps.success)
+            union2 = succ["linear"] | succ["zeros"]
+            union3 = union2 | succ["waypoint"]
+            print(
+                f"{hname:<12s} {name:<16s} linear={succ['linear'].mean():.3f} "
+                f"zeros={succ['zeros'].mean():.3f} wp={succ['waypoint'].mean():.3f} "
+                f"union2={union2.mean():.3f} union3={union3.mean():.3f}  "
+                f"({dt:.1f} s/run)"
+            )
 
 
 if __name__ == "__main__":

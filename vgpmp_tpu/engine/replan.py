@@ -64,12 +64,20 @@ def run_receding_horizon(
     cycles: int = 5,
     advance: int = 20,
     goal_tol: float = 0.05,
+    noise_scale: float = 0.0,
 ):
     """Closed-loop plan/execute/replan over a problem batch.
 
     Cycle 0 runs the full budget (``full_cfg``); subsequent cycles run the
     cheap warm-started ``replan_cfg`` from the config reached after executing
     ``advance`` waypoints of the current plan.
+
+    ``noise_scale``: per-joint std-dev (radians) of an execution disturbance
+    applied to the reached configuration each cycle — a tracking-error model
+    that makes closed-loop replanning *necessary*: an open-loop plan ends
+    offset from the goal by the accumulated noise, while the warm-started
+    replanner corrects from each disturbed state (tested in
+    ``tests/test_replan.py``). 0.0 = the noiseless kinematic model.
     """
     B = starts.shape[0]
     first = jax.jit(jax.vmap(solver_mod.make_single_solver(model, full_cfg)))
@@ -91,6 +99,15 @@ def run_receding_horizon(
         steps = np.asarray(res.best[:, 1:upto, :])
         executed.append(steps)
         current = jnp.asarray(steps[:, -1, :])
+        if noise_scale > 0.0 and c < cycles - 1:
+            k, nsub = jax.random.split(k)
+            noise = noise_scale * jax.random.normal(
+                nsub, current.shape, dtype=current.dtype
+            )
+            current = jnp.clip(
+                current + noise, model.limits_low, model.limits_high
+            )
+            executed.append(np.asarray(current)[:, None, :])
     path = np.concatenate(executed, axis=1)
     err = jnp.max(jnp.abs(current - goals), axis=-1)
     return ReplanResult(

@@ -29,6 +29,8 @@ __all__ = [
     "make_single_solver",
     "make_batch_solver",
     "make_ensemble_solver",
+    "make_resumable_solver",
+    "TrainState",
     "init_ensemble",
     "default_trainable",
 ]
@@ -376,3 +378,94 @@ def init_batch(
         alpha=float(planner_params["alpha"]),
     )
     return jax.vmap(lambda s, g: init(s, g))(jnp.asarray(starts), jnp.asarray(goals))
+
+
+class TrainState(NamedTuple):
+    """Resumable optimizer state (checkpointable mid-run with
+    ``utils.checkpoint``): the optax state carries the schedule step count,
+    so a restored run continues the exact LR curve."""
+
+    params: planner.PlannerParams
+    opt_state: tuple
+    step: jnp.ndarray  # [] int32 absolute step index
+
+
+def make_resumable_solver(
+    model: planner.PlannerModel,
+    cfg: TrainConfig,
+    trainable: Optional[dict] = None,
+):
+    """Chunked variant of :func:`make_single_solver` for fault-tolerant runs.
+
+    The one-scan solver cannot be checkpointed mid-optimization (its Adam
+    moments live inside the scan). This factory splits the loop into
+    externally-driven chunks:
+
+    - ``init_state(params) -> TrainState``
+    - ``train_chunk(state, start, goal, step_keys) -> (TrainState, elbo_hist)``
+      advances ``len(step_keys)`` Adam steps (jit/vmap-compatible; chunk
+      length is static per compiled shape);
+    - ``extract(state, start, goal, key) -> SolveResult``.
+
+    Chunking is exact: running the full budget as N chunks with the same
+    per-step keys reproduces the single-scan result bit-for-bit, so a
+    checkpoint/restore between chunks (orbax on ``TrainState``) is lossless
+    — tested in ``tests/test_replan.py``.
+    """
+    trainable = trainable or default_trainable()
+    dtype = model.limits_low.dtype
+    Xnew = jnp.linspace(0.0, 1.0, cfg.time_spacing_Xnew, dtype=dtype)
+    X = jnp.linspace(0.0, 1.0, cfg.time_spacing_X, dtype=dtype)
+    if cfg.lr_peak > 0.0:
+        warmup = min(cfg.warmup_steps, max(cfg.num_steps - 1, 1))
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr_peak, warmup, cfg.num_steps, cfg.learning_rate
+        )
+    else:
+        lr = cfg.learning_rate
+    opt = optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
+
+    def sigma_scale(i):
+        if cfg.sigma_anneal <= 1.0:
+            return jnp.asarray(1.0, dtype)
+        frac = i.astype(dtype) / max(cfg.num_steps - 1, 1)
+        return jnp.asarray(cfg.sigma_anneal, dtype) ** (1.0 - frac)
+
+    def init_state(params: planner.PlannerParams) -> TrainState:
+        return TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    def train_chunk(state: TrainState, start, goal, step_keys):
+        mask = _mask_pytree(state.params, trainable)
+
+        def loss_fn(p, k, ss):
+            return -planner.elbo(p, model, start, goal, X, k, sigma_scale=ss)
+
+        def step(carry, xs):
+            k, i = xs
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, k, sigma_scale(i))
+            grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), -loss
+
+        n = step_keys.shape[0]
+        steps = state.step + jnp.arange(n)
+        (params, opt_state), elbo_hist = jax.lax.scan(
+            step, (state.params, state.opt_state), (step_keys, steps)
+        )
+        return TrainState(params, opt_state, state.step + n), elbo_hist
+
+    def extract(state: TrainState, start, goal, key) -> SolveResult:
+        mean, best, samples, scores = planner.sample_from_posterior(
+            state.params, model, start, goal, Xnew, key, cfg.num_posterior_samples
+        )
+        return SolveResult(
+            best=best,
+            mean=mean,
+            best_score=jnp.max(scores),
+            elbo_history=jnp.zeros((0,), dtype),
+            failed=~jnp.all(jnp.isfinite(best)),
+        )
+
+    return init_state, train_chunk, extract

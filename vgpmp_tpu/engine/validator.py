@@ -34,6 +34,7 @@ class ValidationReport(NamedTuple):
     limits_ok: jnp.ndarray      # [] bool
     min_clearance: jnp.ndarray  # [] meters (worst sphere clearance anywhere)
     max_endpoint_err: jnp.ndarray  # [] radians
+    velocity_ok: jnp.ndarray = True  # [] bool (checked when duration given)
 
 
 def densify(traj: jnp.ndarray, factor: int) -> jnp.ndarray:
@@ -56,6 +57,8 @@ def validate_trajectory(
     endpoint_tol: float = 0.05,
     densify_factor: int = 4,
     endpoint_slack: float = 0.005,
+    velocity_limits: jnp.ndarray | None = None,
+    duration: float | None = None,
 ) -> ValidationReport:
     """Validate one trajectory ``[T, L]`` (constrained joint space).
 
@@ -91,11 +94,25 @@ def validate_trajectory(
 
     limits_ok = jnp.all((dense >= limits_low) & (dense <= limits_high))
 
+    # joint-velocity feasibility: when the trajectory is executed over
+    # ``duration`` seconds at uniform waypoint spacing, per-joint |dq/dt|
+    # must respect the robot's velocity limits (RobotSpec.velocity_limits —
+    # data the reference stores per config, ``data/robots/*/config.yaml``,
+    # but never checks; here it gates success when requested)
+    velocity_ok = jnp.asarray(True)
+    if velocity_limits is not None and duration is not None:
+        dt = duration / (traj.shape[0] - 1)
+        qd = jnp.abs(jnp.diff(traj, axis=0)) / dt  # [T-1, L]
+        vmax = jnp.asarray(velocity_limits)
+        vmax = jnp.abs(vmax[:, 1]) if vmax.ndim == 2 else jnp.abs(vmax)
+        velocity_ok = jnp.all(qd <= vmax[None, :])
+
     return ValidationReport(
-        success=collision_free & endpoints_ok & limits_ok,
+        success=collision_free & endpoints_ok & limits_ok & velocity_ok,
         collision_free=collision_free,
         endpoints_ok=endpoints_ok,
         limits_ok=limits_ok,
         min_clearance=min_clear,
         max_endpoint_err=end_err,
+        velocity_ok=velocity_ok,
     )

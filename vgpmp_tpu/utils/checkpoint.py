@@ -22,7 +22,12 @@ try:  # orbax is in the image; keep a clear error if a stripped env lacks it
 except Exception:  # pragma: no cover
     _HAVE_ORBAX = False
 
-__all__ = ["save_solver_state", "restore_solver_state"]
+__all__ = [
+    "save_solver_state",
+    "restore_solver_state",
+    "save_train_state",
+    "restore_train_state",
+]
 
 
 def _checkpointer():
@@ -54,3 +59,24 @@ def restore_solver_state(path: str | Path):
     """Load (params_pytree, problem_ids, extras) saved by :func:`save_solver_state`."""
     restored = _checkpointer().restore(Path(path).absolute())
     return restored["params"], restored["problem_ids"], restored.get("extras", {})
+
+
+def save_train_state(path: str | Path, state) -> None:
+    """Persist a mid-run ``engine.solver.TrainState`` (params + Adam moments +
+    schedule step) — fault-tolerant long runs can resume the optimizer loop
+    exactly where it stopped (lossless; see tests/test_replan.py)."""
+    _checkpointer().save(Path(path).absolute(), jax.tree.map(np.asarray, state), force=True)
+
+
+def restore_train_state(path: str | Path, template):
+    """Restore a ``TrainState`` saved by :func:`save_train_state`.
+
+    ``template`` supplies the pytree structure (e.g. ``init_state(params0)``);
+    leaves are restored into it and returned as JAX arrays.
+    """
+    import jax.numpy as jnp
+
+    restored = _checkpointer().restore(
+        Path(path).absolute(), item=jax.tree.map(np.asarray, template)
+    )
+    return jax.tree.map(jnp.asarray, restored)
