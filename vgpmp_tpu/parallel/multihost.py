@@ -148,6 +148,13 @@ def worker_main(argv: Optional[list] = None) -> Dict[str, float]:
 
     import jax
 
+    # honor a JAX_PLATFORMS request even under platform plugins that
+    # re-register themselves over the env var (the config update after import
+    # is what actually wins — same workaround as tests/conftest.py)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     if args.num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=args.coordinator,
