@@ -51,14 +51,20 @@ def run_combo(
     sdf_mode: str,
     seed: int,
     use_tuned: bool = True,
+    max_restarts_per_program: int = 6,
 ) -> dict:
     """Solve one robot x environment problemset ``runs`` times.
 
     When the (tuned) planner params request multiple q_mu inits
-    (``q_mu_inits``), the K-restart ensemble solver runs K x B problems in
-    one XLA program and the validator-best restart wins per problem —
-    otherwise the plain batched solver is used (the exact reference schedule,
-    ``--parity``).
+    (``q_mu_inits``), the K-restart ensemble solver runs K x B problems and
+    the validator-best restart wins per problem — otherwise the plain batched
+    solver is used (the exact reference schedule, ``--parity``).
+
+    Large restart pools are chunked: at most ``max_restarts_per_program``
+    restarts run per XLA program (K=15 x B=55 x M=24 in one program needs
+    ~27 G HBM, past the 16 G chip), and the per-problem best is merged across
+    chunks on the host with the ensemble's own score (success, then worst-case
+    clearance).
     """
     from vgpmp_tpu.engine import solver
     from vgpmp_tpu.engine.validator import validate_trajectory
@@ -74,16 +80,41 @@ def run_combo(
     K = len(inits)
 
     if K > 1:
-        params0 = solver.init_ensemble(
-            sess.model, starts, goals, sess.planner_params, inits=inits
-        )
+        C = max_restarts_per_program
+        chunks = [inits[i : i + C] for i in range(0, K, C)]
+        chunk_params = [
+            solver.init_ensemble(sess.model, starts, goals, sess.planner_params, inits=ch)
+            for ch in chunks
+        ]
         solve = solver.make_ensemble_solver(sess.model, sess.train_config)
 
         def run_once(run_seed):
-            keys = jax.random.split(jax.random.PRNGKey(run_seed), K * B).reshape(K, B, 2)
-            best, reps, _ = solve(params0, sb, gb, keys)
-            best.block_until_ready()
-            return reps
+            all_keys = jax.random.split(
+                jax.random.PRNGKey(run_seed), K * B
+            ).reshape(K, B, 2)
+            best_score = np.full(B, -np.inf)
+            merged = None
+            off = 0
+            for ch, params0 in zip(chunks, chunk_params):
+                kc = len(ch)
+                _, reps, _ = solve(params0, sb, gb, all_keys[off : off + kc])
+                off += kc
+                succ = np.asarray(reps.success)
+                clear = np.nan_to_num(np.asarray(reps.min_clearance), nan=-np.inf)
+                score = succ.astype(np.float64) * 1e3 + clear
+                if merged is None:
+                    merged, best_score = reps, score
+                else:
+                    take = score > best_score
+                    merged = jax.tree.map(
+                        lambda new, old: np.where(
+                            take.reshape((-1,) + (1,) * (np.ndim(old) - 1)),
+                            np.asarray(new), np.asarray(old),
+                        ),
+                        reps, merged,
+                    )
+                    best_score = np.maximum(score, best_score)
+            return merged
     else:
         params0 = solver.init_batch(sess.model, starts, goals, sess.planner_params)
         solve_b = solver.make_batch_solver(sess.model, sess.train_config)
