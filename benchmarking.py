@@ -4,12 +4,16 @@
 Where the reference loops one problem at a time through PyBullet
 (``/root/reference/benchmarking.py:73-91``), this driver solves an entire
 robot x environment problemset as ONE batched XLA program per run and scores
-success with the geometric validator (PyBullet execution optional via
-``vgpmp_tpu.sim`` when available).
+success with the PHYSICAL execution metric: a contact-blocking PD executor
+must traverse every waypoint and the endpoints must match the query
+(``engine.validator.execution_success`` — the mechanism of the reference's
+PyBullet metric, ``utils/robot.py:416-480``). The geometric validator's
+verdict is reported alongside as a calibration statistic.
 
 Usage:
     python benchmarking.py --robot franka --problemset industrial
-    python benchmarking.py --all --runs 5
+    python benchmarking.py --all --runs 5 --json-out RESULTS.json
+    python benchmarking.py --all --runs 5 --parity   # exact reference params
 """
 
 from __future__ import annotations
@@ -52,34 +56,45 @@ def run_combo(
     seed: int,
     use_tuned: bool = True,
     max_restarts_per_program: int = 6,
+    adaptive_rounds: int = 0,
 ) -> dict:
     """Solve one robot x environment problemset ``runs`` times.
 
     When the (tuned) planner params request multiple q_mu inits
     (``q_mu_inits``), the K-restart ensemble solver runs K x B problems and
-    the validator-best restart wins per problem — otherwise the plain batched
-    solver is used (the exact reference schedule, ``--parity``).
+    the best restart under the execution metric wins per problem — otherwise
+    the plain batched solver is used (the exact reference schedule,
+    ``--parity``, which also pins the reference's jitter=1e-6).
 
     Large restart pools are chunked: at most ``max_restarts_per_program``
     restarts run per XLA program (K=15 x B=55 x M=24 in one program needs
     ~27 G HBM, past the 16 G chip), and the per-problem best is merged across
-    chunks on the host with the ensemble's own score (success, then worst-case
-    clearance).
+    chunks on the host with the ensemble's own score
+    (``solver.ensemble_score`` — one definition for both paths).
+
+    ``adaptive_rounds > 0`` spends extra restarts only while problems remain
+    unsolved: after the base ensemble, up to that many further restart chunks
+    (fresh free-space-biased via-points per round) are run and merged, and
+    the loop stops early once every problem executes successfully. Rounds are
+    included in the wall-clock.
     """
     from vgpmp_tpu.engine import solver
-    from vgpmp_tpu.engine.validator import validate_trajectory
+    from vgpmp_tpu.engine.validator import execution_success, validate_trajectory
     from vgpmp_tpu.session import PlanningSession
 
+    overrides = {} if use_tuned else {"jitter": 1e-6}
     sess = PlanningSession(
-        robot, problemset, dtype=jnp.float32, sdf_mode=sdf_mode, use_tuned=use_tuned
+        robot, problemset, dtype=jnp.float32, sdf_mode=sdf_mode,
+        use_tuned=use_tuned, overrides=overrides,
     )
     starts, goals = sess.queries()
     B = len(starts)
     sb, gb = jnp.asarray(starts, jnp.float32), jnp.asarray(goals, jnp.float32)
     inits = tuple(sess.planner_params.get("q_mu_inits", ["linear"]))
     K = len(inits)
+    adaptive_used = []
 
-    if K > 1:
+    if K > 1 or adaptive_rounds > 0:
         C = max_restarts_per_program
         chunks = [inits[i : i + C] for i in range(0, K, C)]
         chunk_params = [
@@ -88,33 +103,50 @@ def run_combo(
         ]
         solve = solver.make_ensemble_solver(sess.model, sess.train_config)
 
+        def merge(state, reps, kc, key_off):
+            merged, best_score = state
+            score = np.asarray(
+                solver.ensemble_score(reps.executed, reps.success, reps.min_clearance)
+            ).astype(np.float64)
+            if merged is None:
+                return (reps, score), key_off + kc
+            take = score > best_score
+            merged = jax.tree.map(
+                lambda new, old: np.where(
+                    take.reshape((-1,) + (1,) * (np.ndim(old) - 1)),
+                    np.asarray(new), np.asarray(old),
+                ),
+                reps, merged,
+            )
+            return (merged, np.maximum(score, best_score)), key_off + kc
+
         def run_once(run_seed):
+            nonlocal adaptive_used
+            # enough keys for base + adaptive chunks
+            total_k = K + adaptive_rounds * C
             all_keys = jax.random.split(
-                jax.random.PRNGKey(run_seed), K * B
-            ).reshape(K, B, 2)
-            best_score = np.full(B, -np.inf)
-            merged = None
-            off = 0
+                jax.random.PRNGKey(run_seed), total_k * B
+            ).reshape(total_k, B, 2)
+            state, off = (None, None), 0
             for ch, params0 in zip(chunks, chunk_params):
                 kc = len(ch)
                 _, reps, _ = solve(params0, sb, gb, all_keys[off : off + kc])
-                off += kc
-                succ = np.asarray(reps.success)
-                clear = np.nan_to_num(np.asarray(reps.min_clearance), nan=-np.inf)
-                score = succ.astype(np.float64) * 1e3 + clear
-                if merged is None:
-                    merged, best_score = reps, score
-                else:
-                    take = score > best_score
-                    merged = jax.tree.map(
-                        lambda new, old: np.where(
-                            take.reshape((-1,) + (1,) * (np.ndim(old) - 1)),
-                            np.asarray(new), np.asarray(old),
-                        ),
-                        reps, merged,
-                    )
-                    best_score = np.maximum(score, best_score)
-            return merged
+                state, off = merge(state, reps, kc, off)
+            used = 0
+            for rnd in range(adaptive_rounds):
+                if bool(np.all(np.asarray(state[0].executed))):
+                    break
+                extra = tuple(
+                    f"frand{1000 + 100 * run_seed + C * rnd + j}" for j in range(C)
+                )
+                params_e = solver.init_ensemble(
+                    sess.model, starts, goals, sess.planner_params, inits=extra
+                )
+                _, reps, _ = solve(params_e, sb, gb, all_keys[off : off + C])
+                state, off = merge(state, reps, C, off)
+                used += 1
+            adaptive_used.append(used)
+            return state[0]
     else:
         params0 = solver.init_batch(sess.model, starts, goals, sess.planner_params)
         solve_b = solver.make_batch_solver(sess.model, sess.train_config)
@@ -123,6 +155,8 @@ def run_combo(
                 lambda t, a, b: validate_trajectory(
                     sess.model.collision, t, a, b,
                     sess.model.limits_low, sess.model.limits_high,
+                )._replace(
+                    executed=execution_success(sess.model.collision, t, a, b)
                 )
             )
         )
@@ -134,15 +168,17 @@ def run_combo(
             return val(res.best, sb, gb)
 
     per_run = []
+    per_run_validator = []
     times = []
     failed: list = []
     for r in range(runs):
         t0 = time.time()
         reps = run_once(seed + r)
+        ex = np.asarray(reps.executed)
         times.append(time.time() - t0)
-        succ = np.asarray(reps.success)
-        per_run.append(int(succ.sum()))
-        failed.append(np.nonzero(~succ)[0].tolist())
+        per_run.append(int(ex.sum()))
+        per_run_validator.append(int(np.asarray(reps.success).sum()))
+        failed.append(np.nonzero(~ex)[0].tolist())
 
     steady = min(times[1:]) if len(times) > 1 else times[0]
     avg = float(np.mean(per_run))
@@ -151,14 +187,17 @@ def run_combo(
         "problemset": problemset,
         "problems": B,
         "restarts": K,
+        "adaptive_rounds_used": adaptive_used or None,
         "tuned": use_tuned,
         "budget": {
             k: sess.planner_params[k]
             for k in ("num_steps", "num_samples", "num_inducing", "learning_rate")
         },
+        "metric": "execution_success (contact-blocking PD executor + endpoints)",
         "avg_solved": avg,
         "success_rate": avg / B,
         "per_run_solved": per_run,
+        "per_run_validator_solved": per_run_validator,
         "failed_indices_last_run": failed[-1],
         "compile_plus_first_seconds": round(times[0] - steady, 1),
         "steady_batch_seconds": round(steady, 3),
@@ -168,6 +207,7 @@ def run_combo(
         f"{robot}/{problemset}: average solved {avg:.1f} / {B} "
         f"({100 * avg / B:.1f}%), K={K}, batch {out['steady_batch_seconds']}s "
         f"= {out['solves_per_sec']} solves/s, compile {out['compile_plus_first_seconds']}s"
+        + (f", adaptive rounds {adaptive_used}" if any(adaptive_used) else "")
     )
     return out
 
@@ -182,16 +222,29 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json-out", default=None)
     ap.add_argument(
+        "--adaptive-rounds", type=int, default=0,
+        help="extra restart chunks spent only while problems remain unsolved",
+    )
+    ap.add_argument(
         "--parity", action="store_true",
-        help="exact reference hyperparameters (no tuned schedule/restart overlay)",
+        help="exact reference hyperparameters (no tuned schedule/restart "
+        "overlay; jitter pinned to the reference's 1e-6)",
     )
     args = ap.parse_args()
 
     combos = ALL_COMBOS if args.all else [(args.robot, args.problemset)]
-    results = [
-        run_combo(r, p, args.runs, args.sdf_mode, args.seed, use_tuned=not args.parity)
-        for r, p in combos
-    ]
+    results = []
+    for r, p in combos:
+        results.append(
+            run_combo(
+                r, p, args.runs, args.sdf_mode, args.seed,
+                use_tuned=not args.parity,
+                adaptive_rounds=0 if args.parity else args.adaptive_rounds,
+            )
+        )
+        if args.json_out:  # flush incrementally — a late crash keeps earlier combos
+            with open(args.json_out, "w") as f:
+                json.dump(results, f, indent=1)
     total_b = sum(r["problems"] for r in results)
     total_s = sum(r["avg_solved"] for r in results)
     print(f"TOTAL: {total_s:.1f} / {total_b} ({100 * total_s / total_b:.1f}%)")

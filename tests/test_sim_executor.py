@@ -88,6 +88,31 @@ def test_grazing_contact_tolerated(sess):
     assert bool(ok)
 
 
+def test_execution_success_metric(sess):
+    """The headline benchmark metric: executor traversal AND endpoint match.
+    A perfectly executable free-space trajectory still fails the metric when
+    its endpoints miss the query."""
+    from vgpmp_tpu.engine.validator import execution_success
+
+    states = sess.states
+    a = np.asarray(states[0])
+    b = a + 0.05
+    traj = _lin(a, b)
+    f = jax.jit(
+        lambda t, s, g: execution_success(sess.model.collision, t, s, g)
+    )
+    assert bool(f(traj, jnp.asarray(a), jnp.asarray(b)))
+    # same trajectory, wrong goal: the metric must fail even though the
+    # executor reaches every waypoint
+    assert not bool(f(traj, jnp.asarray(a), jnp.asarray(b + 0.2)))
+    # colliding trajectory: metric fails through the executor leg
+    lo = np.asarray(sess.model.limits_low)
+    bad = a.copy()
+    bad[1] = lo[1] * 0.98
+    bad[3] = lo[3] * 0.98
+    assert not bool(f(_lin(a, bad), jnp.asarray(a), jnp.asarray(bad)))
+
+
 def test_validator_velocity_limits(sess):
     """velocity_ok gates success: a trajectory executed too fast violates the
     RobotSpec velocity limits; slow enough, it passes."""

@@ -5,7 +5,7 @@ VERDICT r1: a 36-problem batch is latency-bound (<1% MFU) — "solves/s/chip"
 only means something at saturation. This sweep replicates the real
 problemset across the batch axis (each replica gets an independent PRNG key,
 i.e. a genuinely distinct solve) and measures steady-state wall-clock per
-batch size. Output: SCALING_r02.json + a table on stdout; the knee feeds
+batch size. Output: SCALING_r03.json + a table on stdout; the knee feeds
 bench.py's reported batch size.
 
 Run on the TPU:  python tools/batch_scaling.py [--sizes 36 128 512 1024 2048]
@@ -40,7 +40,7 @@ def main() -> None:
     ap.add_argument("--sizes", type=int, nargs="*", default=[36, 128, 512, 1024, 2048])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--tuned", action="store_true", default=True)
-    ap.add_argument("--json-out", default=str(ROOT / "SCALING_r02.json"))
+    ap.add_argument("--json-out", default=str(ROOT / "SCALING_r03.json"))
     args = ap.parse_args()
 
     from vgpmp_tpu.engine import solver

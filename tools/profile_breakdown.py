@@ -60,6 +60,7 @@ def main() -> None:
     ap.add_argument("--robot", default="franka")
     ap.add_argument("--env", default="industrial")
     ap.add_argument("--batch", type=int, default=36)
+    ap.add_argument("--json-out", default=None, help="also write the table as JSON")
     args = ap.parse_args()
 
     from vgpmp_tpu.engine import solver
@@ -178,6 +179,24 @@ def main() -> None:
         f"{total * cfg.num_steps / 1e3:.2f} s for B={B} "
         f"({B / (total * cfg.num_steps / 1e3):.2f} solves/s excl. extraction)"
     )
+    if args.json_out:
+        import json
+
+        out = {
+            "robot": args.robot,
+            "env": args.env,
+            "batch": B,
+            "shapes": {
+                "S": S, "N": N, "L": L, "P": P,
+                "M": model.num_inducing, "bases": model.num_bases,
+            },
+            "device": str(jax.devices()[0]),
+            "stages_ms": {name: round(ms, 3) for name, ms in rows},
+            "projected_full_optimize_seconds": round(total * cfg.num_steps / 1e3, 3),
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote", args.json_out)
 
 
 if __name__ == "__main__":

@@ -142,7 +142,6 @@ def main() -> None:
         for hname, hkw in hypers
         for interp in init_names
     }
-    params0 = params_sets[(hypers[0][0], "linear")]
     dtype = model.limits_low.dtype
     X = jnp.linspace(0.0, 1.0, cfg.time_spacing_X, dtype=dtype)
     Xnew = jnp.linspace(0.0, 1.0, cfg.time_spacing_Xnew, dtype=dtype)

@@ -29,6 +29,7 @@ __all__ = [
     "make_single_solver",
     "make_batch_solver",
     "make_ensemble_solver",
+    "ensemble_score",
     "make_resumable_solver",
     "TrainState",
     "init_ensemble",
@@ -274,31 +275,56 @@ def make_batch_solver(
     return jax.jit(jax.vmap(solve, in_axes=(0, 0, 0, 0)))
 
 
+def ensemble_score(executed, success, min_clearance):
+    """Restart-selection score, shared by the in-program ensemble argmax and
+    the host-side chunk merge in ``benchmarking.py`` (one definition so
+    chunked runs cannot diverge from single-program ensembles).
+
+    Physical execution success dominates, then geometric validator success,
+    then worst-case clearance as the tie-breaker. Computed in float32 on both
+    host and device so exact ties resolve identically. A diverged (NaN)
+    restart scores ``-inf`` so any finite restart is preferred.
+    """
+    score = (
+        jnp.asarray(executed).astype(jnp.float32) * 1e6
+        + jnp.asarray(success).astype(jnp.float32) * 1e3
+        + jnp.asarray(min_clearance).astype(jnp.float32)
+    )
+    return jnp.where(jnp.isnan(score), -jnp.inf, score)
+
+
 def make_ensemble_solver(
     model: planner.PlannerModel,
     cfg: TrainConfig,
     trainable: Optional[dict] = None,
     keep_member_reports: bool = False,
 ):
-    """Multi-restart solver: K inits per problem, best validated one wins.
+    """Multi-restart solver: K inits per problem, best *executed* one wins.
 
     The dominant failure mode of the single solver is a *colliding local
     minimum* — the MC-ELBO landscape is multimodal and a straight-line q_mu
     init commits to one homotopy class (measured franka/industrial @200
     steps: linear init 83% solved, zeros init 47%, union 94%). Restarting
-    from diverse inits and picking the best geometrically-validated
-    trajectory is the standard motion-planning answer; on TPU the K restarts
-    are just K more rows of the problem batch (one XLA program, perfect
-    utilization), not K sequential runs.
+    from diverse inits and picking the best trajectory is the standard
+    motion-planning answer; on TPU the K restarts are just K more rows of the
+    problem batch (one XLA program, perfect utilization), not K sequential
+    runs.
+
+    Selection is scored by the physical execution metric first (the
+    contact-blocking PD executor + endpoint condition — the same metric the
+    benchmark reports, so selection cannot exploit validator optimism), then
+    geometric validator success, then worst-case clearance
+    (:func:`ensemble_score`; ties break toward init 0).
 
     Returns ``solve(params_kb, starts, goals, keys_kb) -> (best [B, Nnew, L],
     reports, chosen_init [B])`` where ``params_kb``/``keys_kb`` carry a
-    leading ``[K, B]`` axis (see :func:`init_ensemble`). Selection prefers
-    validator success, then larger worst-case clearance (ties broken toward
-    init 0). With ``keep_member_reports`` the per-member ``[K, B]`` reports
-    are appended to the return tuple (for selection-invariant checks).
+    leading ``[K, B]`` axis (see :func:`init_ensemble`) and ``reports`` is a
+    :class:`ValidationReport` batch whose ``executed`` field carries the
+    physical verdict. With ``keep_member_reports`` the per-member ``[K, B]``
+    reports are appended to the return tuple (for selection-invariant
+    checks).
     """
-    from vgpmp_tpu.engine.validator import validate_trajectory
+    from vgpmp_tpu.engine.validator import execution_success, validate_trajectory
 
     single = make_single_solver(model, cfg, trainable)
 
@@ -307,7 +333,8 @@ def make_ensemble_solver(
         rep = validate_trajectory(
             model.collision, res.best, s, g, model.limits_low, model.limits_high
         )
-        return res.best, rep
+        ex = execution_success(model.collision, res.best, s, g)
+        return res.best, rep._replace(executed=ex)
 
     vm = jax.vmap(jax.vmap(solve_row, in_axes=(0, 0, 0, 0)),
                   in_axes=(0, None, None, 0))
@@ -315,12 +342,9 @@ def make_ensemble_solver(
     @jax.jit
     def solve(params_kb, starts, goals, keys_kb):
         best_kb, reps_kb = vm(params_kb, starts, goals, keys_kb)  # [K, B, ...]
-        score = (
-            reps_kb.success.astype(jnp.float32) * 1e3 + reps_kb.min_clearance
+        score = ensemble_score(
+            reps_kb.executed, reps_kb.success, reps_kb.min_clearance
         )  # [K, B]
-        # a diverged (NaN) restart must never win the argmax (NaN compares as
-        # maximal there) — sanitize to -inf so a finite restart is preferred
-        score = jnp.where(jnp.isnan(score), -jnp.inf, score)
         chosen = jnp.argmax(score, axis=0)  # [B]
         take = lambda x: jnp.take_along_axis(
             x, chosen.reshape((1, -1) + (1,) * (x.ndim - 2)), axis=0
@@ -352,11 +376,18 @@ def restart_waypoints(
     - anything else: ``None`` (not a via-point mode).
     """
     if interp.startswith("frand"):
-        seed, biased = int(interp[5:] or 0), True
+        suffix, biased = interp[5:], True
     elif interp.startswith("rand"):
-        seed, biased = int(interp[4:] or 0), False
+        suffix, biased = interp[4:], False
     else:
         return None
+    if suffix and not suffix.isdigit():
+        raise ValueError(
+            f"via-point init mode {interp!r}: expected 'rand<i>'/'frand<i>' "
+            f"with an integer suffix (e.g. 'rand0', 'frand3'), got suffix "
+            f"{suffix!r}"
+        )
+    seed = int(suffix or 0)
     rng = np.random.default_rng((0xF00D if biased else 0xC0FFEE) + seed)
     lo = np.asarray(model.limits_low, np.float64)
     hi = np.asarray(model.limits_high, np.float64)

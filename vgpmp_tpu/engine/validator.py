@@ -24,17 +24,28 @@ import jax.numpy as jnp
 
 from vgpmp_tpu.likelihoods.collision import CollisionModel
 
-__all__ = ["ValidationReport", "validate_trajectory", "densify"]
+__all__ = [
+    "ValidationReport",
+    "validate_trajectory",
+    "execution_success",
+    "densify",
+]
 
 
 class ValidationReport(NamedTuple):
-    success: jnp.ndarray        # [] bool
+    success: jnp.ndarray        # [] bool (geometric validator verdict)
     collision_free: jnp.ndarray  # [] bool
     endpoints_ok: jnp.ndarray   # [] bool
     limits_ok: jnp.ndarray      # [] bool
     min_clearance: jnp.ndarray  # [] meters (worst sphere clearance anywhere)
     max_endpoint_err: jnp.ndarray  # [] radians
     velocity_ok: jnp.ndarray = True  # [] bool (checked when duration given)
+    # [] bool — the PHYSICAL success metric: a contact-blocking PD executor
+    # traverses every waypoint AND the endpoints match the query (see
+    # :func:`execution_success`). Filled by solvers that run the executor
+    # (engine.solver.make_ensemble_solver, benchmarking.py); defaults to the
+    # geometric verdict elsewhere. This is the benchmark's headline success.
+    executed: jnp.ndarray = None
 
 
 def densify(traj: jnp.ndarray, factor: int) -> jnp.ndarray:
@@ -116,3 +127,35 @@ def validate_trajectory(
         max_endpoint_err=end_err,
         velocity_ok=velocity_ok,
     )
+
+
+def execution_success(
+    collision: CollisionModel,
+    traj: jnp.ndarray,
+    start: jnp.ndarray,
+    goal: jnp.ndarray,
+    endpoint_tol: float = 0.05,
+) -> jnp.ndarray:
+    """The physical benchmark success metric (jittable, [] bool).
+
+    Mirrors the reference's definition of "solved" — a PD position controller
+    physically reaches every waypoint of the trajectory
+    (``utils/robot.py:416-453``, 0.05 rad tolerance, and an obstacle that
+    blocks the arm fails the run) — via the contact-blocking kinematic
+    executor (``vgpmp_tpu.sim.kinematic_execute_trajectory``), plus the
+    endpoint condition the reference gets for free by starting the arm at the
+    query start (our endpoint clamp is soft, so it is checked explicitly).
+
+    Strictly more conservative than the geometric validator (calibration:
+    ``executor_only == 0`` over every measured pool), and — unlike the
+    validator — not the quantity ensemble selection can overfit by
+    construction, because it models the *mechanism* of the reference metric
+    rather than a clearance heuristic.
+    """
+    from vgpmp_tpu.sim import kinematic_execute_trajectory
+
+    reached_all, _, _ = kinematic_execute_trajectory(collision, traj)
+    end_err = jnp.maximum(
+        jnp.max(jnp.abs(traj[0] - start)), jnp.max(jnp.abs(traj[-1] - goal))
+    )
+    return reached_all & (end_err <= endpoint_tol)

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from vgpmp_tpu.engine import solver as solver_mod
 from vgpmp_tpu.engine.validator import validate_trajectory
@@ -121,8 +120,8 @@ def make_sharded_solver(
         if validate
         else {},
     )
-    sharded = shard_map(
+    sharded = jax.shard_map(
         local_batch, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -156,34 +156,40 @@ def kinematic_execute_trajectory(
     def clearance(q):
         return jnp.min(collision.sphere_clearance(q))
 
-    def move_to(q, target):
+    def move_to(q, c_q, target):
+        # the worst clearance at the current state is carried through the
+        # loop (and across waypoints) so each controller step costs exactly
+        # one FK+SDF evaluation
         def cond(state):
-            q, it, reached, stuck = state
+            q, c_q, it, reached, stuck = state
             return ~(reached | stuck) & (it < max_iters)
 
         def body(state):
-            q, it, _, _ = state
+            q, c_q, it, _, _ = state
             q_new = q + jnp.clip(target - q, -step_cap, step_cap)
-            c_cur = clearance(q)
             c_new = clearance(q_new)
             # contact rule: never deepen the worst penetration (grazing /
             # grasp-pose contact at <= current depth is allowed)
-            allowed = c_new >= jnp.minimum(0.0, c_cur) - contact_slack
+            allowed = c_new >= jnp.minimum(0.0, c_q) - contact_slack
             q2 = jnp.where(allowed, q_new, q)
+            c2 = jnp.where(allowed, c_new, c_q)
             reached = jnp.max(jnp.abs(q2 - target)) <= tol
-            return q2, it + 1, reached, ~allowed
+            return q2, c2, it + 1, reached, ~allowed
 
         reached0 = jnp.max(jnp.abs(q - target)) <= tol
-        q, it, reached, stuck = jax.lax.while_loop(
-            cond, body, (q, jnp.zeros((), jnp.int32), reached0, jnp.zeros((), bool))
+        q, c_q, it, reached, stuck = jax.lax.while_loop(
+            cond, body,
+            (q, c_q, jnp.zeros((), jnp.int32), reached0, jnp.zeros((), bool)),
         )
-        return q, reached
+        return q, c_q, reached
 
     def scan_fn(carry, target):
-        q, ok = carry
-        q, reached = move_to(q, target)
-        return (q, ok & reached), reached
+        q, c_q, ok = carry
+        q, c_q, reached = move_to(q, c_q, target)
+        return (q, c_q, ok & reached), reached
 
     q0 = traj[0]
-    (q_final, success), reached = jax.lax.scan(scan_fn, (q0, jnp.ones((), bool)), traj)
+    (q_final, _, success), reached = jax.lax.scan(
+        scan_fn, (q0, clearance(q0), jnp.ones((), bool)), traj
+    )
     return success, reached, q_final
