@@ -78,10 +78,14 @@ def reference_baseline() -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=512,
+    # 128 is the measured chip envelope/saturation knee (SCALING_r03.json):
+    # 36/128/256 run, 256 adds no throughput, 512 faults the device — and a
+    # fault poisons subsequent dispatches in-process, so the ladder cannot
+    # recover from an over-ambitious default.
+    ap.add_argument("--batch", type=int, default=128,
                     help="replicated rows for the throughput measurement "
                     "(falls back to /2 repeatedly on device failure)")
-    ap.add_argument("--min-batch", type=int, default=64)
+    ap.add_argument("--min-batch", type=int, default=32)
     args, _ = ap.parse_known_args()
 
     from vgpmp_tpu.engine import solver

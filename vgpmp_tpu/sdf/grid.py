@@ -212,7 +212,13 @@ class PackedSdfGrid:
     (including the reference's zero->0.1 replacement hack) and quantize
     [d, gx, gy, gz] to bfloat16 — bf16 is the top 16 bits of f32, so packing
     is bit-masking and unpacking is ``bitcast(word & 0xFFFF0000)`` /
-    ``bitcast(word << 16)``: two flat gathers replace seven.
+    ``bitcast(word << 16)``.
+
+    The two words per voxel live side by side in one ``[ncells, 2]`` array so
+    the training-path lookup is ONE 8-byte slice gather — measured on v5e:
+    10.55 ns/pt vs 7.84 for a single 4-byte gather and 16.36 for two separate
+    gathers, i.e. the fused fetch costs 1.35 single gathers instead of 2.
+    Seven gather passes (reference semantics) become ~1.35.
 
     Accuracy: bf16 keeps 8 mantissa bits — near the surface (|d| ~ hinge
     epsilon, 5 cm) the absolute error is ~2e-4 m, far below voxel pitch; far
@@ -220,8 +226,9 @@ class PackedSdfGrid:
     ``nearest_distance`` on the unpacked grid.
     """
 
-    words0: jnp.ndarray   # [nx*ny*nz] uint32: bf16(value) | bf16(grad_x) >> 16
-    words1: jnp.ndarray   # [nx*ny*nz] uint32: bf16(grad_y) | bf16(grad_z) >> 16
+    words: jnp.ndarray    # [nx*ny*nz, 2] uint32:
+    #   word 0 = bf16(value) | bf16(grad_x) >> 16
+    #   word 1 = bf16(grad_y) | bf16(grad_z) >> 16
     origin: jnp.ndarray   # [3]
     delta: jnp.ndarray    # []
     shape: tuple = struct.field(pytree_node=False, default=())
@@ -248,8 +255,10 @@ class PackedSdfGrid:
         gy = _round_f32_to_bf16_bits(grads[1]).reshape(-1)
         gz = _round_f32_to_bf16_bits(grads[2]).reshape(-1)
         return cls(
-            words0=jnp.asarray(val | (gx >> 16)),
-            words1=jnp.asarray(gy | (gz >> 16)),
+            words=jnp.stack(
+                [jnp.asarray(val | (gx >> 16)), jnp.asarray(gy | (gz >> 16))],
+                axis=1,
+            ),
             origin=grid.origin,
             delta=grid.delta,
             shape=tuple(int(s) for s in grid.data.shape),
@@ -273,22 +282,24 @@ def _unpack_lo(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def packed_nearest_distance(packed: PackedSdfGrid, points: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-cell SDF value from a :class:`PackedSdfGrid` (two gathers).
+    """Nearest-cell SDF value from a :class:`PackedSdfGrid`.
 
-    Forward: bf16-rounded nearest-cell value. Backward: upstream scalar times
-    the pre-packed per-voxel central-difference gradient — the same custom-VJP
-    semantics as :func:`nearest_distance` at bf16 precision.
+    One 8-byte slice gather fetches value AND pre-packed gradient together
+    (see the class docstring for the measured costs). Forward: bf16-rounded
+    nearest-cell value. Backward: upstream scalar times the per-voxel
+    central-difference gradient — the same custom-VJP semantics as
+    :func:`nearest_distance` at bf16 precision, with zero backward gathers.
     """
 
     @jax.custom_vjp
     def _lookup(p):
         flat = _packed_flat_index(packed, p)
-        return _unpack_hi(jnp.take(packed.words0, flat, axis=0))
+        return _unpack_hi(jnp.take(packed.words[:, 0], flat, axis=0))
 
     def _fwd(p):
         flat = _packed_flat_index(packed, p)
-        w0 = jnp.take(packed.words0, flat, axis=0)
-        w1 = jnp.take(packed.words1, flat, axis=0)
+        w = jnp.take(packed.words, flat, axis=0)  # [..., 2] one slice gather
+        w0, w1 = w[..., 0], w[..., 1]
         grad = jnp.stack(
             [_unpack_lo(w0), _unpack_hi(w1), _unpack_lo(w1)], axis=-1
         ).astype(p.dtype)
