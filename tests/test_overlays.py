@@ -20,10 +20,13 @@ import pytest
 ASSETS = Path(__file__).resolve().parent.parent / "vgpmp_tpu" / "assets" / "problemsets"
 
 # keys an overlay may override (schedule / restart / init-hyperparameter
-# knobs) — NOT the optimizer budget
+# knobs) — NOT the optimizer budget. ``epsilon`` (the hinge safety margin)
+# is tunable like the reference tunes it per problemset
+# (``data/problemsets/*.planner_params``); it shapes the objective, not the
+# compute budget.
 TUNABLE = {
     "lr_peak", "warmup_steps", "sigma_anneal", "q_mu_inits",
-    "lengthscales", "variance", "sigma_obs", "antithetic",
+    "lengthscales", "variance", "sigma_obs", "antithetic", "epsilon",
 }
 BUDGET = {"num_steps", "num_samples", "num_inducing", "num_bases"}
 KNOWN_INITS = {"linear", "zeros", "waypoint"}
