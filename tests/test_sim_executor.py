@@ -2,8 +2,11 @@
 
 Covers the semantics the reference gets from PyBullet PD control
 (``utils/robot.py:416-453``): free-space trajectories execute, trajectories
-through obstacles are blocked and fail, grazing endpoint contact (grasp
-poses) is tolerated as long as penetration never deepens.
+through obstacles are blocked and fail, and sphere-model penetration is
+tolerated exactly as deep as the query states themselves require (phantom
+penetration of grasp poses — the benchmark's own start/goal configurations
+are physically valid in the reference's world, so their negative sphere
+clearance is over-approximation artifact, not contact), never deeper.
 """
 
 from __future__ import annotations
@@ -111,6 +114,54 @@ def test_execution_success_metric(sess):
     bad[1] = lo[1] * 0.98
     bad[3] = lo[3] * 0.98
     assert not bool(f(_lin(a, bad), jnp.asarray(a), jnp.asarray(bad)))
+
+
+def test_phantom_endpoint_goal_reachable(sess):
+    """A goal whose sphere model penetrates the scene (grasp pose) is
+    reachable by the metric — the penetration floor is grounded in the QUERY
+    states — while (a) the raw executor from a free-space start still blocks
+    it and (b) a trajectory diving DEEPER than the query requires still
+    fails (the floor cannot be gamed by the candidate trajectory)."""
+    from vgpmp_tpu.engine.validator import execution_success
+
+    states = sess.states
+    a = np.asarray(states[0])
+    lo = np.asarray(sess.model.limits_low)
+    dip = a.copy()
+    dip[1] = lo[1] * 0.98
+    dip[3] = lo[3] * 0.98
+    path = np.asarray(_lin(a, dip, 2000))
+    clear = np.asarray(
+        jax.vmap(lambda q: jnp.min(sess.model.collision.sphere_clearance(q)))(
+            jnp.asarray(path)
+        )
+    )
+    cross = int(np.argmax(clear < -0.03))
+    assert cross > 0, "test premise: the dip reaches 3 cm penetration"
+    gi = int(np.argmin(clear[: cross + 1]))
+    goal = path[gi]
+    assert clear[: gi + 1].min() >= clear[gi] - 1e-9  # goal is deepest en route
+    block = int(np.argmax(clear < -1e-3))
+    assert np.max(np.abs(path[block] - goal)) > 0.06, (
+        "test premise: where a zero-floor executor blocks is outside the "
+        "0.05 rad waypoint tolerance of the goal"
+    )
+
+    traj = _lin(a, goal)
+    ok_raw, _, _ = jax.jit(
+        lambda t: kinematic_execute_trajectory(sess.model.collision, t)
+    )(traj)
+    assert not bool(ok_raw)  # free-space start => floor ~ 0 => blocked
+
+    f = jax.jit(lambda t, s, g: execution_success(sess.model.collision, t, s, g))
+    assert bool(f(traj, jnp.asarray(a), jnp.asarray(goal)))
+
+    # anti-gaming: a via-point 5 cm deeper than anything the query requires
+    deep = int(np.argmax(clear < clear[gi] - 0.05))
+    if deep > 0:
+        via = path[deep]
+        traj2 = jnp.concatenate([_lin(a, via), _lin(via, goal)], axis=0)
+        assert not bool(f(traj2, jnp.asarray(a), jnp.asarray(goal)))
 
 
 def test_validator_velocity_limits(sess):

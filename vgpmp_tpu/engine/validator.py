@@ -146,15 +146,28 @@ def execution_success(
     endpoint condition the reference gets for free by starting the arm at the
     query start (our endpoint clamp is soft, so it is checked explicitly).
 
-    Strictly more conservative than the geometric validator (calibration:
-    ``executor_only == 0`` over every measured pool), and — unlike the
-    validator — not the quantity ensemble selection can overfit by
-    construction, because it models the *mechanism* of the reference metric
-    rather than a clearance heuristic.
+    The executor's penetration floor is grounded in the QUERY states: the
+    benchmark's start/goal configurations are physically valid in the
+    reference's world (its PyBullet arm occupies and reaches them), so any
+    sphere-model penetration they exhibit is over-approximation artifact,
+    not contact — the metric tolerates penetration up to that depth and
+    blocks anything deeper (see the module comment in ``vgpmp_tpu/sim.py``).
+    The floor comes from the query, never from the candidate trajectory's
+    own endpoints, so a trajectory cannot legitimize a deep dive by ending
+    inside an obstacle. Unlike the geometric validator, this metric is not
+    the quantity ensemble selection can overfit by construction: it models
+    the *mechanism* of the reference metric (waypoint-by-waypoint PD
+    tracking with contact blocking) rather than a clearance heuristic.
     """
     from vgpmp_tpu.sim import kinematic_execute_trajectory
 
-    reached_all, _, _ = kinematic_execute_trajectory(collision, traj)
+    end_clear = jnp.minimum(
+        jnp.min(collision.sphere_clearance(start)),
+        jnp.min(collision.sphere_clearance(goal)),
+    )
+    reached_all, _, _ = kinematic_execute_trajectory(
+        collision, traj, penetration_floor=jnp.minimum(0.0, end_clear)
+    )
     end_err = jnp.maximum(
         jnp.max(jnp.abs(traj[0] - start)), jnp.max(jnp.abs(traj[-1] - goal))
     )

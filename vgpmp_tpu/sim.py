@@ -125,10 +125,26 @@ class PhysicsExecutor:
 # Model: per-joint velocity-capped approach to each waypoint (PyBullet
 # POSITION_CONTROL with force=500 / maxVelocity=0.5 acts as a strong motor
 # whose joints track the target at <= vmax rad/s), with a contact constraint:
-# a step that would deepen the worst sphere penetration beyond its current
-# level is blocked (the obstacle stops the arm; resting/grazing contact may
-# persist but cannot deepen). Deterministic dynamics => a blocked state stays
-# blocked, so the executor exits early instead of spinning 2000 iterations.
+# any step whose worst sphere clearance falls below a fixed penetration floor
+# is blocked (the obstacle stops the arm). Deterministic dynamics => a
+# blocked state stays blocked (the clipped step direction toward the current
+# waypoint is constant), so the executor exits early instead of spinning
+# 2000 iterations.
+#
+# The floor and phantom penetration: the collision-sphere model is an
+# over-approximation of the arm, so several benchmark query states (grasp
+# poses) have *negative* sphere clearance while being physically valid,
+# contact-free configurations — the reference's PyBullet arm occupies them
+# with real meshes and its PD controller reaches them (the problemsets are
+# built from states the reference executes; ``data/problemsets/*``). A
+# contact metric that blocked at sphere-clearance zero would score the
+# benchmark's own query states unreachable, which the reference metric never
+# does. The floor therefore tolerates sphere-model penetration exactly as
+# deep as the *start state* requires by default, and callers that know the
+# query (``engine.validator.execution_success``) extend it to the query
+# endpoints' own depth via ``penetration_floor``. Penetration beyond that is
+# treated as real contact and blocks the arm, exactly like the reference's
+# motor stalling against an obstacle (``utils/robot.py:434-453``).
 
 
 def kinematic_execute_trajectory(
@@ -139,13 +155,19 @@ def kinematic_execute_trajectory(
     tol: float = 0.05,
     max_iters: int = 2000,
     contact_slack: float = 1e-3,
+    penetration_floor=None,
 ):
     """Execute ``trajectory [T, L]`` under the contact-blocking PD model.
 
     Returns ``(success [] bool, reached [T] bool, q_final [L])`` — jittable /
     vmappable (pure JAX). Constants mirror the reference controller: 0.05 rad
     tolerance, 2000-iteration budget per waypoint, 0.5 rad/s velocity cap,
-    240 Hz stepping.
+    240 Hz stepping (``utils/robot.py:416-453``).
+
+    ``penetration_floor`` (optional scalar): deepest sphere-model clearance
+    to tolerate as phantom contact (see module comment); the start state's
+    own clearance is always tolerated. The effective blocking floor is
+    ``min(0, clearance(traj[0]), penetration_floor) - contact_slack``.
     """
     import jax
     import jax.numpy as jnp
@@ -156,40 +178,39 @@ def kinematic_execute_trajectory(
     def clearance(q):
         return jnp.min(collision.sphere_clearance(q))
 
-    def move_to(q, c_q, target):
-        # the worst clearance at the current state is carried through the
-        # loop (and across waypoints) so each controller step costs exactly
-        # one FK+SDF evaluation
+    q0 = traj[0]
+    floor = jnp.minimum(0.0, clearance(q0))
+    if penetration_floor is not None:
+        floor = jnp.minimum(floor, jnp.asarray(penetration_floor, floor.dtype))
+    floor = floor - contact_slack
+
+    def move_to(q, target):
         def cond(state):
-            q, c_q, it, reached, stuck = state
+            q, it, reached, stuck = state
             return ~(reached | stuck) & (it < max_iters)
 
         def body(state):
-            q, c_q, it, _, _ = state
+            q, it, _, _ = state
             q_new = q + jnp.clip(target - q, -step_cap, step_cap)
-            c_new = clearance(q_new)
-            # contact rule: never deepen the worst penetration (grazing /
-            # grasp-pose contact at <= current depth is allowed)
-            allowed = c_new >= jnp.minimum(0.0, c_q) - contact_slack
+            # contact rule: one FK+SDF evaluation per controller step
+            allowed = clearance(q_new) >= floor
             q2 = jnp.where(allowed, q_new, q)
-            c2 = jnp.where(allowed, c_new, c_q)
             reached = jnp.max(jnp.abs(q2 - target)) <= tol
-            return q2, c2, it + 1, reached, ~allowed
+            return q2, it + 1, reached, ~allowed
 
         reached0 = jnp.max(jnp.abs(q - target)) <= tol
-        q, c_q, it, reached, stuck = jax.lax.while_loop(
+        q, it, reached, stuck = jax.lax.while_loop(
             cond, body,
-            (q, c_q, jnp.zeros((), jnp.int32), reached0, jnp.zeros((), bool)),
+            (q, jnp.zeros((), jnp.int32), reached0, jnp.zeros((), bool)),
         )
-        return q, c_q, reached
+        return q, reached
 
     def scan_fn(carry, target):
-        q, c_q, ok = carry
-        q, c_q, reached = move_to(q, c_q, target)
-        return (q, c_q, ok & reached), reached
+        q, ok = carry
+        q, reached = move_to(q, target)
+        return (q, ok & reached), reached
 
-    q0 = traj[0]
-    (q_final, _, success), reached = jax.lax.scan(
-        scan_fn, (q0, clearance(q0), jnp.ones((), bool)), traj
+    (q_final, success), reached = jax.lax.scan(
+        scan_fn, (q0, jnp.ones((), bool)), traj
     )
     return success, reached, q_final
