@@ -50,14 +50,18 @@ DENSIFY_GRID = [4, 8, 16]
 SLACK_GRID = [0.0, 0.0025, 0.005, 0.01, 0.02]
 
 
-def gather_trajectories(robot: str, env: str, seed: int):
-    """Solve the problemset at full tuned budget AND at a starved budget
-    (1/8 steps, constant lr) so the pool contains real failures too."""
+def gather_trajectories(robot: str, env: str, seed: int, with_starved: bool):
+    """Solve the problemset at full tuned budget AND (for ``with_starved``
+    combos) at a starved budget (1/8 steps, constant lr) so the pool contains
+    real failures too. Starved pools are limited to a representative subset
+    because each costs a full extra XLA compile (the shrunk step count is a
+    new program) and the failure modes they add are robot-generic."""
     from vgpmp_tpu.engine import solver
     from vgpmp_tpu.session import PlanningSession
 
+    pools = [("tuned", True, 1)] + ([("starved", False, 8)] if with_starved else [])
     out = []
-    for tag, use_tuned, shrink in (("tuned", True, 1), ("starved", False, 8)):
+    for tag, use_tuned, shrink in pools:
         sess = PlanningSession(robot, env, dtype=jnp.float32, use_tuned=use_tuned)
         cfg = sess.train_config
         if shrink > 1:
@@ -78,6 +82,12 @@ def gather_trajectories(robot: str, env: str, seed: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--combos", nargs="*", default=ALL_COMBOS)
+    ap.add_argument(
+        "--starved-combos", nargs="*",
+        default=["franka:industrial", "franka:bookshelves",
+                 "kuka:industrial", "wam:industrial"],
+        help="combos that also contribute a starved (1/8-budget) failure pool",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -91,7 +101,9 @@ def main() -> None:
 
     for combo in args.combos:
         robot, env = combo.split(":")
-        for tag, sess, best, starts, goals in gather_trajectories(robot, env, args.seed):
+        for tag, sess, best, starts, goals in gather_trajectories(
+            robot, env, args.seed, with_starved=combo in args.starved_combos
+        ):
             model = sess.model
             col = model.collision
             sb = jnp.asarray(starts, jnp.float32)

@@ -114,6 +114,8 @@ def main() -> None:
     ap.add_argument("--sigma-anneal", type=float, nargs="*", default=[None])
     ap.add_argument("--inits", nargs="*", default=DEFAULT_INITS)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=6,
+                    help="restarts per XLA program (lower for HBM-edge combos)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -125,7 +127,8 @@ def main() -> None:
         if sa is not None:
             overrides["sigma_anneal"] = sa
         sess, executed, mc, end_clear, elapsed = run_config(
-            args.robot, args.env, args.inits, overrides, args.seed
+            args.robot, args.env, args.inits, overrides, args.seed,
+            chunk=args.chunk,
         )
         union = executed.any(0)
         per_init = {name: round(float(executed[k].mean()), 4)
