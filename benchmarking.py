@@ -31,6 +31,12 @@ jax.config.update("jax_enable_x64", True)
 jax.config.update(
     "jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache")
 )
+# honor JAX_PLATFORMS even under self-registering platform plugins (the axon
+# TPU plugin re-registers over the env var; same workaround as
+# parallel/multihost.py) — lets a parity run execute on CPU while the TPU is
+# busy, without grabbing (and crashing) the chip
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import jax.numpy as jnp
 import numpy as np
@@ -185,6 +191,7 @@ def run_combo(
     out = {
         "robot": robot,
         "problemset": problemset,
+        "device": str(jax.devices()[0]),
         "problems": B,
         "restarts": K,
         "adaptive_rounds_used": adaptive_used or None,

@@ -15,6 +15,7 @@ run() {
     | grep -v '^WARNING'
 }
 
-run franka bookshelves --chunk 3
 run wam industrial --epsilon 0.065 0.08
+run franka bookshelves --chunk 3
+run wam bookshelves --chunk 3
 echo FOLLOWUP_DONE
