@@ -101,7 +101,10 @@ def run_combo(
     adaptive_used = []
 
     if K > 1 or adaptive_rounds > 0:
-        C = max_restarts_per_program
+        # HBM-edge combos (K x B x M past the 16G chip) carry a smaller
+        # per-program chunk in their tuned overlay
+        C = int(sess.planner_params.get(
+            "max_restarts_per_program", max_restarts_per_program))
         chunks = [inits[i : i + C] for i in range(0, K, C)]
         chunk_params = [
             solver.init_ensemble(sess.model, starts, goals, sess.planner_params, inits=ch)

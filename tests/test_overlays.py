@@ -27,6 +27,9 @@ ASSETS = Path(__file__).resolve().parent.parent / "vgpmp_tpu" / "assets" / "prob
 TUNABLE = {
     "lr_peak", "warmup_steps", "sigma_anneal", "q_mu_inits",
     "lengthscales", "variance", "sigma_obs", "antithetic", "epsilon",
+    # execution knob, not an optimizer knob: restarts per XLA program
+    # (K=6 x B=55 x M>=15 ensembles fault the 16G chip; these combos chunk 3)
+    "max_restarts_per_program",
 }
 BUDGET = {"num_steps", "num_samples", "num_inducing", "num_bases"}
 KNOWN_INITS = {"linear", "zeros", "waypoint"}

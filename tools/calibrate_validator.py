@@ -35,6 +35,11 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+# honor JAX_PLATFORMS under self-registering plugins (axon re-registers over
+# the env var) — calibration pools are platform-independent, so this tool can
+# run on CPU while the chip is busy
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import jax.numpy as jnp
 import numpy as np

@@ -112,10 +112,43 @@ def bench_pallas(ncells: int, npts: int) -> dict:
             "pallas_table_cells": ncells}
 
 
+def bench_production_op(npts: int) -> dict:
+    """The real packed-SDF op at profile shapes: forward value lookup and
+    grad-of-hinge through the custom VJP (``sdf/grid.py
+    packed_nearest_distance``), on a synthetic grid of the industrial
+    scene's dimensions."""
+    from vgpmp_tpu.sdf.grid import PackedSdfGrid, SdfGrid
+
+    rng = np.random.default_rng(0)
+    dims = (169, 201, 103)  # industrial
+    grid = SdfGrid.from_arrays(
+        rng.uniform(-0.05, 0.5, size=dims).astype(np.float32), np.zeros(3), 0.009
+    )
+    packed = PackedSdfGrid.pack(grid)
+    pts = jnp.asarray(
+        rng.uniform(0.0, 0.009 * 100, size=(npts, 3)).astype(np.float32)
+    )
+
+    from vgpmp_tpu.sdf.grid import packed_nearest_distance
+
+    fwd = jax.jit(lambda p: packed_nearest_distance(packed, p))
+
+    def hinge_cost(p):
+        d = packed_nearest_distance(packed, p)
+        return jnp.sum(jnp.square(jnp.maximum(0.05 - d, 0.0)))
+
+    gradf = jax.jit(jax.grad(hinge_cost))
+    return {
+        "packed_fwd_ns_per_pt": timeit(fwd, pts) / npts * 1e9,
+        "packed_hinge_grad_ns_per_pt": timeit(gradf, pts) / npts * 1e9,
+    }
+
+
 def main() -> None:
     dev = jax.devices()[0]
     out = {"device": str(dev), "npts": NPTS}
 
+    out.update(bench_production_op(NPTS))
     # production-scale table (industrial scene: 3.5M cells, HBM-resident)
     out.update({f"hbm_{k}": v for k, v in bench_xla(3_498_807, NPTS).items()})
     # small table (fits VMEM) -- separates issue rate from table size

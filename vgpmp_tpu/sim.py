@@ -145,6 +145,15 @@ class PhysicsExecutor:
 # endpoints' own depth via ``penetration_floor``. Penetration beyond that is
 # treated as real contact and blocks the arm, exactly like the reference's
 # motor stalling against an obstacle (``utils/robot.py:434-453``).
+#
+# ``contact_slack`` (default 5 mm) absorbs the clearance model's own noise
+# floor: the voxel SDF is accurate to ~half a voxel (benchmark scenes: 7-13
+# mm pitch) and trajectories are piecewise-linear between waypoints, so
+# clearance differences of a few millimetres are discretization artifact,
+# not geometry. Without it, grasp approaches — which by construction hug the
+# query state's own depth — fail on sub-voxel dips (measured: wam/industrial
+# trajectories blocked 1-2 mm below the floor at waypoint 149/150 with exact
+# endpoints). Real collisions en route are centimetres deep and still block.
 
 
 def kinematic_execute_trajectory(
@@ -154,7 +163,7 @@ def kinematic_execute_trajectory(
     vmax: float = 0.5,
     tol: float = 0.05,
     max_iters: int = 2000,
-    contact_slack: float = 1e-3,
+    contact_slack: float = 5e-3,
     penetration_floor=None,
 ):
     """Execute ``trajectory [T, L]`` under the contact-blocking PD model.
