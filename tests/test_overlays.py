@@ -30,6 +30,9 @@ TUNABLE = {
     # execution knob, not an optimizer knob: restarts per XLA program
     # (K=6 x B=55 x M>=15 ensembles fault the 16G chip; these combos chunk 3)
     "max_restarts_per_program",
+    # the reference's training_loop(randomize=True) — same step budget,
+    # redrawn time grid per restart member
+    "randomize_timesteps",
 }
 BUDGET = {"num_steps", "num_samples", "num_inducing", "num_bases"}
 KNOWN_INITS = {"linear", "zeros", "waypoint"}

@@ -114,14 +114,23 @@ def main() -> None:
     ap.add_argument("--sigma-anneal", type=float, nargs="*", default=[None])
     ap.add_argument("--inits", nargs="*", default=DEFAULT_INITS)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--set", dest="sets", nargs="*", default=[],
+                    metavar="KEY=JSONVAL",
+                    help="extra planner-param overrides applied to every "
+                    "candidate, e.g. --set randomize_timesteps=true")
     ap.add_argument("--chunk", type=int, default=6,
                     help="restarts per XLA program (lower for HBM-edge combos)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
+    base_overrides = {}
+    for kv in args.sets:
+        k, _, v = kv.partition("=")
+        base_overrides[k] = json.loads(v)
+
     results = []
     for eps, sa in itertools.product(args.epsilon, args.sigma_anneal):
-        overrides = {}
+        overrides = dict(base_overrides)
         if eps is not None:
             overrides["epsilon"] = eps
         if sa is not None:

@@ -206,6 +206,14 @@ class PlanningSession:
             lr_peak=float(self.planner_params.get("lr_peak", 0.0)),
             warmup_steps=int(self.planner_params.get("warmup_steps", 10)),
             sigma_anneal=float(self.planner_params.get("sigma_anneal", 1.0)),
+            # per-solve redrawn training time grid (the reference's
+            # training_loop(randomize=True), utils/miscellaneous.py:90-95).
+            # In a restart ensemble each member draws its own grid, so the
+            # union penalizes clearance at K x |X| distinct times — pressure
+            # on between-waypoint dips the fixed grid never samples.
+            randomize_timesteps=bool(
+                self.planner_params.get("randomize_timesteps", False)
+            ),
         )
 
     # ------------------------------------------------------------------
