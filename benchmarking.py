@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_ENABLE_X64", "1")
@@ -245,19 +246,27 @@ def main() -> None:
     combos = ALL_COMBOS if args.all else [(args.robot, args.problemset)]
     results = []
     for r, p in combos:
-        results.append(
-            run_combo(
-                r, p, args.runs, args.sdf_mode, args.seed,
-                use_tuned=not args.parity,
-                adaptive_rounds=0 if args.parity else args.adaptive_rounds,
+        try:
+            results.append(
+                run_combo(
+                    r, p, args.runs, args.sdf_mode, args.seed,
+                    use_tuned=not args.parity,
+                    adaptive_rounds=0 if args.parity else args.adaptive_rounds,
+                )
             )
-        )
+        except Exception as e:  # device fault: record, keep going (a poisoned
+            # process fails the rest fast; completed combos must survive)
+            print(f"{r}/{p} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            results.append({"robot": r, "problemset": p,
+                            "error": f"{type(e).__name__}: {e}"})
         if args.json_out:  # flush incrementally — a late crash keeps earlier combos
             with open(args.json_out, "w") as f:
                 json.dump(results, f, indent=1)
-    total_b = sum(r["problems"] for r in results)
-    total_s = sum(r["avg_solved"] for r in results)
-    print(f"TOTAL: {total_s:.1f} / {total_b} ({100 * total_s / total_b:.1f}%)")
+    ok = [r for r in results if "error" not in r]
+    total_b = sum(r["problems"] for r in ok)
+    total_s = sum(r["avg_solved"] for r in ok)
+    if total_b:
+        print(f"TOTAL: {total_s:.1f} / {total_b} ({100 * total_s / total_b:.1f}%)")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(results, f, indent=1)

@@ -11,14 +11,16 @@ while pgrep -f 'tune_execution' >/dev/null 2>&1; do sleep 20; done
 
 step() { echo "=== $(date +%H:%M:%S) $* ===" >&2; }
 
+# matrix first — it is the round's must-land artifact; scaling (which also
+# warms bench.py's B=128 program) and the gather microbench follow
+step tuned matrix
+timeout 10800 python benchmarking.py --all --runs 5 --adaptive-rounds 2 \
+  --json-out RESULTS_r03.json 2>&1 | grep -v '^WARNING'
+
 step batch scaling
 timeout 4000 python tools/batch_scaling.py --sizes 36 128 256 --reps 2 2>&1 | grep -v '^WARNING'
 
 step gather bench
 timeout 2400 python tools/gather_bench.py 2>&1 | grep -v '^WARNING'
-
-step tuned matrix
-timeout 10800 python benchmarking.py --all --runs 5 --adaptive-rounds 2 \
-  --json-out RESULTS_r03.json 2>&1 | grep -v '^WARNING'
 
 echo EVAL_QUEUE_DONE
