@@ -72,16 +72,12 @@ def main() -> None:
             if tuned.get("q_mu_inits") != inits:
                 tuned["q_mu_inits"] = inits
                 changed = True
-            eps = row["overrides"].get("epsilon")
-            if eps is not None and tuned.get("epsilon") != eps:
-                print(f"  epsilon {tuned.get('epsilon')} -> {eps}")
-                tuned["epsilon"] = eps
-                changed = True
-            sa = row["overrides"].get("sigma_anneal")
-            if sa is not None and tuned.get("sigma_anneal") != sa:
-                print(f"  sigma_anneal {tuned.get('sigma_anneal')} -> {sa}")
-                tuned["sigma_anneal"] = sa
-                changed = True
+            for k, v in row["overrides"].items():  # epsilon / sigma_anneal /
+                # randomize_timesteps / ... — the winning row's overrides
+                if tuned.get(k) != v:
+                    print(f"  {k} {tuned.get(k)} -> {v}")
+                    tuned[k] = v
+                    changed = True
         if changed and not args.dry_run:
             path.write_text(json.dumps(data, indent=1))
             print(f"  wrote {path}")
