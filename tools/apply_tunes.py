@@ -41,8 +41,13 @@ def chosen_inits(row: dict, target_k: int, chunk: int) -> list[str]:
         (n for n in row["per_init_executed"] if n not in subset),
         key=lambda n: -row["per_init_executed"][n],
     )
-    k = max(target_k, len(subset))
-    k = ((k + chunk - 1) // chunk) * chunk  # round up to chunk multiple
+    if row["union_executed"] >= 0.999:
+        # fully solved at the tuning seed: keep K small (greedy + 1 spare
+        # for held-out seeds), no point burning restart chunks
+        k = min(max(len(subset) + 1, 3), max(target_k, 3))
+    else:
+        k = max(target_k, len(subset))
+        k = ((k + chunk - 1) // chunk) * chunk  # round up to chunk multiple
     return (subset + ranked)[:k]
 
 
