@@ -164,6 +164,50 @@ def main() -> None:
     print(json.dumps(out, indent=1))
     (ROOT / "GATHER_BENCH.json").write_text(json.dumps(out, indent=1))
 
+    # ---- Pallas go/no-go verdict (SURVEY §7 / VERDICT r2 Missing #6) ------
+    # The production SDF lookup is one 8-byte HBM row gather per query point.
+    # A Pallas kernel only wins if an in-kernel VMEM gather is materially
+    # faster than XLA's HBM gather AND the scene table could be staged into
+    # VMEM (hierarchically — full tables are 28-55 MB > 16 MB VMEM).
+    hbm = out.get("hbm_xla_row8B_ns_per_pt")
+    elem = out.get("hbm_xla_elem4B_ns_per_pt")
+    vmem = min(
+        (v for k, v in out.items()
+         if k.startswith("pallas_vmem_") and k.endswith("_ns_per_pt")),
+        default=None,
+    )
+    verdict = {
+        "profile_stage_ms": {"FK+SDF+hinge log_prob fwd+bwd": 29.01,
+                             "full train step": 35.17},  # PROFILE_r03.json
+        "hbm_row8B_ns_per_pt": hbm,
+        "hbm_elem4B_ns_per_pt": elem,
+        "pallas_vmem_best_ns_per_pt": vmem,
+        "packed_fwd_ns_per_pt": out.get("packed_fwd_ns_per_pt"),
+        "packed_hinge_grad_ns_per_pt": out.get("packed_hinge_grad_ns_per_pt"),
+    }
+    if hbm and elem and hbm <= 1.6 * elem:
+        verdict["xla_at_issue_rate"] = True
+        reason = ("XLA's 8B row gather is within 1.6x of the 4B element "
+                  "gather — the lookup is issue-rate-bound, not width- or "
+                  "pass-bound; the packed single-slice fusion already "
+                  "removed the 7-pass overhead.")
+    else:
+        verdict["xla_at_issue_rate"] = False
+        reason = "XLA row gather is materially slower than the element bound."
+    if vmem is not None and hbm and vmem < 0.5 * hbm:
+        verdict["pallas_worth_building"] = True
+        reason += (" A VMEM-resident Pallas gather is >=2x faster, so a "
+                   "hierarchical coarse-table kernel is worth building.")
+    else:
+        verdict["pallas_worth_building"] = False
+        reason += (" In-kernel VMEM gathers do not beat the HBM gather by "
+                   ">=2x (or are unsupported), so a Pallas kernel cannot "
+                   "materially cut the SDF stage; XLA is at the roofline "
+                   "for HBM-resident tables.")
+    verdict["reason"] = reason
+    (ROOT / "PALLAS_DECISION.json").write_text(json.dumps(verdict, indent=1))
+    print("PALLAS_DECISION:", json.dumps(verdict))
+
 
 if __name__ == "__main__":
     main()
