@@ -18,7 +18,7 @@ timeout 10800 python benchmarking.py --all --runs 5 --adaptive-rounds 2 \
   --json-out RESULTS_r03.json 2>&1 | grep -v '^WARNING'
 
 step batch scaling
-timeout 4000 python tools/batch_scaling.py --sizes 36 128 256 --reps 2 2>&1 | grep -v '^WARNING'
+timeout 2400 python tools/batch_scaling.py --sizes 36 128 --reps 1 2>&1 | grep -v '^WARNING'
 
 step gather bench
 timeout 2400 python tools/gather_bench.py 2>&1 | grep -v '^WARNING'
