@@ -25,3 +25,13 @@ run franka bookshelves TUNE_EXEC_franka_bookshelves.json --chunk 3
 run wam bookshelves TUNE_EXEC_wam_bookshelves.json --chunk 3
 run wam lab TUNE_EXEC_wam_lab_eps08.json --epsilon 0.08
 echo RETUNE_QUEUE_DONE
+# appended while queue idle-waiting: ur10/industrial dense-path dips between
+# waypoints (diag: end_err=0, waypoint clearance positive, executor blocks)
+# — probe a wider hinge margin
+run ur10 industrial TUNE_EXEC_ur10_industrial_eps.json --epsilon 0.12 0.16
+echo URDONE
+# randomized-time-grid probes on the two worst combos (real between-waypoint
+# dips; per-member grids pressure K x |X| distinct times)
+run wam bookshelves TUNE_EXEC_wam_bookshelves_rt.json --chunk 3 --set randomize_timesteps=true
+run wam lab TUNE_EXEC_wam_lab_rt.json --set randomize_timesteps=true
+echo RT_PROBES_DONE
