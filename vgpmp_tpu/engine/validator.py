@@ -66,8 +66,8 @@ def validate_trajectory(
     limits_high: jnp.ndarray,
     clearance_margin: float | None = None,
     endpoint_tol: float = 0.05,
-    densify_factor: int = 4,
-    endpoint_slack: float = 0.005,
+    densify_factor: int = 8,  # fitted: 0.9725 agreement w/ the executor over
+    endpoint_slack: float = 0.005,  # 618 trajectories (CALIBRATION.json)
     velocity_limits: jnp.ndarray | None = None,
     duration: float | None = None,
 ) -> ValidationReport:
