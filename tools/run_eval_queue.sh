@@ -13,14 +13,17 @@ step() { echo "=== $(date +%H:%M:%S) $* ===" >&2; }
 
 # matrix first — it is the round's must-land artifact; scaling (which also
 # warms bench.py's B=128 program) and the gather microbench follow
+# timeouts sized so the whole queue drains before the round's bench run
+# needs the chip (a timed-out matrix still keeps completed combos — the
+# driver flushes incrementally and contains per-combo errors)
 step tuned matrix
-timeout 10800 python benchmarking.py --all --runs 5 --adaptive-rounds 2 \
+timeout 7800 python benchmarking.py --all --runs 5 --adaptive-rounds 2 \
   --json-out RESULTS_r03.json 2>&1 | grep -v '^WARNING'
 
 step batch scaling
-timeout 2400 python tools/batch_scaling.py --sizes 36 128 --reps 1 2>&1 | grep -v '^WARNING'
+timeout 1500 python tools/batch_scaling.py --sizes 36 128 --reps 1 2>&1 | grep -v '^WARNING'
 
 step gather bench
-timeout 2400 python tools/gather_bench.py 2>&1 | grep -v '^WARNING'
+timeout 1200 python tools/gather_bench.py 2>&1 | grep -v '^WARNING'
 
 echo EVAL_QUEUE_DONE
