@@ -68,22 +68,15 @@ def run_combo(
     """Solve one robot x environment problemset ``runs`` times.
 
     When the (tuned) planner params request multiple q_mu inits
-    (``q_mu_inits``), the K-restart ensemble solver runs K x B problems and
-    the best restart under the execution metric wins per problem — otherwise
-    the plain batched solver is used (the exact reference schedule,
-    ``--parity``, which also pins the reference's jitter=1e-6).
-
-    Large restart pools are chunked: at most ``max_restarts_per_program``
-    restarts run per XLA program (K=15 x B=55 x M=24 in one program needs
-    ~27 G HBM, past the 16 G chip), and the per-problem best is merged across
-    chunks on the host with the ensemble's own score
-    (``solver.ensemble_score`` — one definition for both paths).
-
-    ``adaptive_rounds > 0`` spends extra restarts only while problems remain
-    unsolved: after the base ensemble, up to that many further restart chunks
-    (fresh free-space-biased via-points per round) are run and merged, and
-    the loop stops early once every problem executes successfully. Rounds are
-    included in the wall-clock.
+    (``q_mu_inits``) or ``adaptive_rounds > 0``, the ADAPTIVE restart engine
+    runs (``solver.solve_adaptive``): one ``[B]``-shaped XLA program, round 0
+    from the first init, then rounds whose B slots are packed with restarts
+    for still-unsolved problems only (remaining inits, then fresh
+    free-space-biased via-points), stopping as soon as every problem
+    executes. Restart compute concentrates where it pays — measured K_eff is
+    ~1.5-3 instead of the round-3 fixed K=6 — and only one program is ever
+    compiled. Otherwise the plain batched solver runs the exact reference
+    schedule (``--parity``, which also pins the reference's jitter=1e-6).
     """
     from vgpmp_tpu.engine import solver
     from vgpmp_tpu.engine.validator import execution_success, validate_trajectory
@@ -100,63 +93,24 @@ def run_combo(
     inits = tuple(sess.planner_params.get("q_mu_inits", ["linear"]))
     K = len(inits)
     adaptive_used = []
+    k_effs = []
 
     if K > 1 or adaptive_rounds > 0:
-        # HBM-edge combos (K x B x M past the 16G chip) carry a smaller
-        # per-program chunk in their tuned overlay
-        C = int(sess.planner_params.get(
-            "max_restarts_per_program", max_restarts_per_program))
-        chunks = [inits[i : i + C] for i in range(0, K, C)]
-        chunk_params = [
-            solver.init_ensemble(sess.model, starts, goals, sess.planner_params, inits=ch)
-            for ch in chunks
-        ]
-        solve = solver.make_ensemble_solver(sess.model, sess.train_config)
-
-        def merge(state, reps, kc, key_off):
-            merged, best_score = state
-            score = np.asarray(
-                solver.ensemble_score(reps.executed, reps.success, reps.min_clearance)
-            ).astype(np.float64)
-            if merged is None:
-                return (reps, score), key_off + kc
-            take = score > best_score
-            merged = jax.tree.map(
-                lambda new, old: np.where(
-                    take.reshape((-1,) + (1,) * (np.ndim(old) - 1)),
-                    np.asarray(new), np.asarray(old),
-                ),
-                reps, merged,
-            )
-            return (merged, np.maximum(score, best_score)), key_off + kc
+        solve = solver.make_round_solver(sess.model, sess.train_config)
+        # round budget: the configured init list plus the requested adaptive
+        # headroom — each round costs one [B] program execution, the same
+        # unit the round-3 fixed ensemble spent per init
+        max_rounds = K + adaptive_rounds
 
         def run_once(run_seed):
-            nonlocal adaptive_used
-            # enough keys for base + adaptive chunks
-            total_k = K + adaptive_rounds * C
-            all_keys = jax.random.split(
-                jax.random.PRNGKey(run_seed), total_k * B
-            ).reshape(total_k, B, 2)
-            state, off = (None, None), 0
-            for ch, params0 in zip(chunks, chunk_params):
-                kc = len(ch)
-                _, reps, _ = solve(params0, sb, gb, all_keys[off : off + kc])
-                state, off = merge(state, reps, kc, off)
-            used = 0
-            for rnd in range(adaptive_rounds):
-                if bool(np.all(np.asarray(state[0].executed))):
-                    break
-                extra = tuple(
-                    f"frand{1000 + 100 * run_seed + C * rnd + j}" for j in range(C)
-                )
-                params_e = solver.init_ensemble(
-                    sess.model, starts, goals, sess.planner_params, inits=extra
-                )
-                _, reps, _ = solve(params_e, sb, gb, all_keys[off : off + C])
-                state, off = merge(state, reps, C, off)
-                used += 1
-            adaptive_used.append(used)
-            return state[0]
+            _, reps, info = solver.solve_adaptive(
+                sess.model, sess.train_config, starts, goals,
+                sess.planner_params, inits=inits, max_rounds=max_rounds,
+                seed=run_seed, solve=solve,
+            )
+            adaptive_used.append(info["rounds"] - 1)
+            k_effs.append(info["k_eff"])
+            return reps
     else:
         params0 = solver.init_batch(sess.model, starts, goals, sess.planner_params)
         solve_b = solver.make_batch_solver(sess.model, sess.train_config)
@@ -204,7 +158,9 @@ def run_combo(
             k: sess.planner_params[k]
             for k in ("num_steps", "num_samples", "num_inducing", "learning_rate")
         },
-        "metric": "execution_success (contact-blocking PD executor + endpoints)",
+        "metric": "execution_success (contact-blocking PD executor + "
+                  "endpoints, tapered phantom floor r=0.5)",
+        "k_eff": round(float(np.mean(k_effs)), 2) if k_effs else 1.0,
         "avg_solved": avg,
         "success_rate": avg / B,
         "per_run_solved": per_run,
@@ -229,7 +185,12 @@ def main() -> None:
     ap.add_argument("--problemset", default="industrial")
     ap.add_argument("--all", action="store_true", help="run every robot x env combo")
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--sdf-mode", default="nearest", choices=["nearest", "trilinear", "packed"])
+    ap.add_argument(
+        "--sdf-mode", default=None, choices=["nearest", "trilinear", "packed"],
+        help="default: 'packed' (bf16 fused-gather nearest semantics, the "
+        "production path) for tuned runs, 'nearest' (exact f32 reference "
+        "semantics) under --parity",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json-out", default=None)
     ap.add_argument(
@@ -243,13 +204,14 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    sdf_mode = args.sdf_mode or ("nearest" if args.parity else "packed")
     combos = ALL_COMBOS if args.all else [(args.robot, args.problemset)]
     results = []
     for r, p in combos:
         try:
             results.append(
                 run_combo(
-                    r, p, args.runs, args.sdf_mode, args.seed,
+                    r, p, args.runs, sdf_mode, args.seed,
                     use_tuned=not args.parity,
                     adaptive_rounds=0 if args.parity else args.adaptive_rounds,
                 )

@@ -9,9 +9,17 @@ For each combo with one or more ``TUNE_EXEC_<robot>_<env>*.json`` files
 - ``q_mu_inits``: the greedy-selected init subset, padded with the best
   remaining per-init performers up to ``--target-k`` (matrix runs are
   multi-seed; inits beyond the tuning seed's greedy cover add union on
-  held-out seeds), rounded to a multiple of the combo's restart chunk so
-  every XLA program in a chunked run shares one compiled shape;
-- ``epsilon``: only when the winning row used an epsilon override.
+  held-out seeds). Since round 4 the list is an ordered *preference* for the
+  adaptive restart engine (``solver.solve_adaptive``) — round 0 uses the
+  first entry for every problem, later rounds cycle the rest over unsolved
+  problems only — so no chunk-multiple rounding applies (every XLA program
+  is ``[B]``-shaped regardless of K, and a fully-solved combo just stops
+  after round 0/1);
+- the winning row's overrides (epsilon / sigma_anneal / ...), EXACTLY: any
+  tunable override key previously written by an earlier tuning round that
+  the new winning row does NOT carry is removed, so the committed overlay
+  always reproduces the configuration that measured the recorded
+  ``union_executed`` (advisor r3 finding: overrides were only ever added).
 
 Prints a before/after summary; ``--dry-run`` to preview.
 """
@@ -27,27 +35,31 @@ ASSETS = ROOT / "vgpmp_tpu" / "assets" / "problemsets"
 ROBOTS = ("franka", "kuka", "wam", "ur10")
 
 
-def best_row(files: list[Path]) -> tuple[dict, Path]:
+def best_row(files: list[Path]) -> tuple[dict, Path, set]:
+    """Best row by union_executed, plus the set of every override key any
+    row in any file has touched (the 'tunable key' universe for cleanup)."""
     rows = []
+    touched: set = set()
     for f in files:
         for row in json.loads(f.read_text()):
             rows.append((row, f))
-    return max(rows, key=lambda rf: rf[0]["union_executed"])
+            touched |= set(row.get("overrides", {}))
+    row, src = max(rows, key=lambda rf: rf[0]["union_executed"])
+    return row, src, touched
 
 
-def chosen_inits(row: dict, target_k: int, chunk: int) -> list[str]:
+def chosen_inits(row: dict, target_k: int) -> list[str]:
     subset = [name for name, _ in row["greedy_subset"]]
     ranked = sorted(
         (n for n in row["per_init_executed"] if n not in subset),
         key=lambda n: -row["per_init_executed"][n],
     )
     if row["union_executed"] >= 0.999:
-        # fully solved at the tuning seed: keep K small (greedy + 1 spare
-        # for held-out seeds), no point burning restart chunks
+        # fully solved at the tuning seed: keep the list short (greedy + 1
+        # spare for held-out seeds) — the adaptive engine stops early anyway
         k = min(max(len(subset) + 1, 3), max(target_k, 3))
     else:
         k = max(target_k, len(subset))
-        k = ((k + chunk - 1) // chunk) * chunk  # round up to chunk multiple
     return (subset + ranked)[:k]
 
 
@@ -65,10 +77,9 @@ def main() -> None:
             files = sorted(ROOT.glob(f"TUNE_EXEC_{robot}_{env}*.json"))
             if not files:
                 continue
-            row, src = best_row(files)
+            row, src, touched = best_row(files)
             tuned = ps.setdefault("planner_params_tuned", {})
-            chunk = int(tuned.get("max_restarts_per_program", 6))
-            inits = chosen_inits(row, args.target_k, chunk)
+            inits = chosen_inits(row, args.target_k)
             print(
                 f"{robot}/{env}: union {row['union_executed']:.4f} "
                 f"({src.name}, overrides {row['overrides']})\n"
@@ -77,8 +88,13 @@ def main() -> None:
             if tuned.get("q_mu_inits") != inits:
                 tuned["q_mu_inits"] = inits
                 changed = True
-            for k, v in row["overrides"].items():  # epsilon / sigma_anneal /
-                # randomize_timesteps / ... — the winning row's overrides
+            # stale-key cleanup: drop tunable keys the winning row didn't use
+            for k in touched - set(row["overrides"]):
+                if k in tuned:
+                    print(f"  {k} {tuned[k]} -> (removed; not in winning row)")
+                    del tuned[k]
+                    changed = True
+            for k, v in row["overrides"].items():
                 if tuned.get(k) != v:
                     print(f"  {k} {tuned.get(k)} -> {v}")
                     tuned[k] = v

@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Render the measured-results markdown from the committed artifacts.
 
-Reads RESULTS_r03.json (tuned matrix), RESULTS_r03_parity.json (reference
+Reads RESULTS_r0N.json (tuned matrix), RESULTS_r0N_parity.json (reference
 hyperparameters), and optionally BENCH_PARTIAL/SCALING/GATHER_BENCH JSONs,
 and prints the README "Measured results" tables — so the README can only
 ever quote driver-captured artifacts (VERDICT r2: one provenance).
+
+The parity total is computed only over combos that HAVE a parity row
+(advisor r3: combos with missing/error parity rows used to count as 0
+solved while still widening the denominator); when parity coverage is
+incomplete the rendered total says over how many problems it was measured.
 """
 
 from __future__ import annotations
@@ -15,22 +20,23 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def load(name):
-    p = ROOT / name
-    return json.loads(p.read_text()) if p.exists() else None
+def load(*names):
+    for name in names:
+        p = ROOT / name
+        if p.exists():
+            return json.loads(p.read_text())
+    return None
 
 
 def fmt_combo(r):
     if "error" in r:
         return None
     runs = r.get("per_run_solved", [])
-    spread = (max(runs) - min(runs)) if runs else 0
     return {
         "combo": f"{r['robot']}/{r['problemset']}",
         "success": r["success_rate"],
         "runs": runs,
-        "spread": spread,
-        "restarts": r.get("restarts"),
+        "k_eff": r.get("k_eff"),
         "adaptive": r.get("adaptive_rounds_used"),
         "steady_s": r.get("steady_batch_seconds"),
         "compile_s": r.get("compile_plus_first_seconds"),
@@ -39,31 +45,39 @@ def fmt_combo(r):
 
 
 def main() -> None:
-    tuned = load("RESULTS_r03.json") or []
+    tuned = load("RESULTS_r04.json", "RESULTS_r03.json") or []
     parity = {}
-    for r in load("RESULTS_r03_parity.json") or []:
+    for r in load("RESULTS_r04_parity.json", "RESULTS_r03_parity.json") or []:
         if "error" not in r:
             parity[(r["robot"], r["problemset"])] = r
 
     rows = [f for f in (fmt_combo(r) for r in tuned) if f]
-    print("| combo | problems | tuned success (execution metric) | parity success | per-run solved | steady s/run | compile s |")
-    print("|---|---|---|---|---|---|---|")
-    tot_p = tot_s = tot_ps = 0.0
+    print("| combo | problems | tuned success (execution metric) | parity success | per-run solved | K_eff | steady s/run | compile s |")
+    print("|---|---|---|---|---|---|---|---|")
+    tot_p = tot_s = 0.0
+    par_p = par_s = 0.0  # parity totals over combos WITH a parity row only
     for f in rows:
         key = tuple(f["combo"].split("/"))
         par = parity.get(key)
-        ps = par["success_rate"] if par else float("nan")
         tot_p += f["problems"]
         tot_s += f["success"] * f["problems"]
-        tot_ps += (ps if ps == ps else 0) * f["problems"]
+        if par is not None:
+            par_p += f["problems"]
+            par_s += par["success_rate"] * f["problems"]
+            ps_str = f"{par['success_rate']:.3f}"
+        else:
+            ps_str = "n/a"
+        keff = f"{f['k_eff']:.2f}" if f.get("k_eff") else ""
         print(
             f"| {f['combo']} | {f['problems']} | **{f['success']:.3f}** | "
-            f"{ps:.3f} | {f['runs']} | {f['steady_s']} | {f['compile_s']} |"
+            f"{ps_str} | {f['runs']} | {keff} | {f['steady_s']} | {f['compile_s']} |"
         )
     if tot_p:
+        par_str = f"**{par_s / par_p:.3f}**" if par_p else "n/a"
+        cover = "" if par_p == tot_p else f" (parity over {int(par_p)})"
         print(
-            f"| **total** | {int(tot_p)} | **{tot_s / tot_p:.3f}** | "
-            f"{tot_ps / tot_p:.3f} | | | |"
+            f"| **total** | {int(tot_p)}{cover} | **{tot_s / tot_p:.3f}** | "
+            f"{par_str} | | | | |"
         )
 
     bench = load("BENCH_PARTIAL.json")
@@ -71,8 +85,9 @@ def main() -> None:
         print()
         print(f"bench.py: {bench.get('value')} {bench.get('unit')} "
               f"(vs_baseline {bench.get('vs_baseline')}x, success "
-              f"{bench.get('success_rate')})")
-    scaling = load("SCALING_r03.json")
+              f"{bench.get('success_rate')}, k_eff "
+              f"{(bench.get('adaptive') or {}).get('k_eff')})")
+    scaling = load("SCALING_r04.json", "SCALING_r03.json")
     if scaling:
         print()
         print("batch scaling (franka/industrial, full budget):")

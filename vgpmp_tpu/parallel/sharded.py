@@ -29,7 +29,7 @@ from vgpmp_tpu.engine.validator import validate_trajectory
 from vgpmp_tpu.models import vgpmp as planner
 from vgpmp_tpu.parallel.mesh import DP_AXIS, SP_AXIS
 
-__all__ = ["make_sharded_solver", "pad_problems"]
+__all__ = ["make_sharded_solver", "make_sharded_round_solver", "pad_problems"]
 
 
 def pad_problems(
@@ -49,6 +49,55 @@ def pad_problems(
     starts = np.concatenate([starts, np.repeat(starts[:1], pad, 0)], axis=0)
     goals = np.concatenate([goals, np.repeat(goals[:1], pad, 0)], axis=0)
     return starts, goals, mask
+
+
+def make_sharded_round_solver(
+    model: planner.PlannerModel,
+    cfg: solver_mod.TrainConfig,
+    mesh,
+    trainable: Optional[dict] = None,
+):
+    """dp-sharded :func:`engine.solver.make_round_solver` — same signature
+    ``solve(params_b, starts, goals, keys) -> (best, reports)``, problems
+    split over the mesh's ``dp`` axis (B must be divisible by dp; use
+    :func:`pad_problems`), MC samples over ``sp`` when present.
+
+    Drop-in for :func:`engine.solver.solve_adaptive`'s ``solve=`` argument,
+    so the adaptive restart engine — the path every headline benchmark
+    number flows through — runs multi-device: restart packing and merging
+    stay on the host, each round's B slots shard over dp communication-free
+    (metrics and the executed verdict are per-row), and equality with the
+    single-device engine is testable row-for-row
+    (``tests/test_adaptive.py``).
+    """
+    from vgpmp_tpu.engine.validator import ValidationReport, execution_success
+
+    n_sp = mesh.shape[SP_AXIS]
+    sample_axis = SP_AXIS if n_sp > 1 else None
+    single = solver_mod.make_single_solver(
+        model, cfg, trainable, sample_axis=sample_axis
+    )
+
+    def solve_row(p, s, g, k):
+        _, res = single(p, s, g, k)
+        rep = validate_trajectory(
+            model.collision, res.best, s, g, model.limits_low, model.limits_high
+        )
+        ex = execution_success(model.collision, res.best, s, g)
+        return res.best, rep._replace(executed=ex)
+
+    def local(params_b, starts_b, goals_b, keys_b):
+        return jax.vmap(solve_row)(params_b, starts_b, goals_b, keys_b)
+
+    rep_spec = ValidationReport(*([P(DP_AXIS)] * len(ValidationReport._fields)))
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DP_AXIS),) * 4,
+        out_specs=(P(DP_AXIS), rep_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def make_sharded_solver(

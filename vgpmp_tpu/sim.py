@@ -154,9 +154,26 @@ class PhysicsExecutor:
 # query state's own depth — fail on sub-voxel dips (measured: wam/industrial
 # trajectories blocked 1-2 mm below the floor at waypoint 149/150 with exact
 # endpoints). Real collisions en route are centimetres deep and still block.
+#
+# TAPERED floor (round 4): applying the query endpoints' phantom depth as a
+# *global* floor lets a mid-route sweep through an obstacle at depth
+# <= query depth + slack count as success — stricter than nothing, but more
+# lenient than the reference's metric, whose real meshes would block real
+# mid-route contact. The phantom-penetration argument only holds NEAR the
+# penetrating query state (the sphere-model artifact is a property of that
+# pose and its approach corridor; measured decay scale of the benchmark's
+# penetrating states: clearance recovers over 0.1-0.7 rad L_inf). With
+# ``taper=(q_start, q_goal, radius)`` the tolerated depth decays linearly
+# with L_inf joint distance from each endpoint:
+#   allowed(q) = max(depth_s * max(0, 1 - |q-q_s|_inf / R),
+#                    depth_g * max(0, 1 - |q-q_g|_inf / R))
+#   floor(q)   = -allowed(q) - contact_slack
+# so mid-route configs (further than R from both endpoints) tolerate only
+# the sub-voxel slack. This can only make the metric stricter than the
+# global floor whenever the trajectory leaves the endpoint corridors.
 
 
-def kinematic_execute_trajectory(
+def kinematic_execute_trajectory_stepped(
     collision,
     trajectory,
     dt: float = 1.0 / 240.0,
@@ -166,12 +183,17 @@ def kinematic_execute_trajectory(
     contact_slack: float = 5e-3,
     penetration_floor=None,
 ):
-    """Execute ``trajectory [T, L]`` under the contact-blocking PD model.
+    """Step-by-step executor (``while_loop`` per waypoint) — the literal
+    transcription of the PD mechanism, kept as the equivalence twin for
+    :func:`kinematic_execute_trajectory` (which computes the same dynamics in
+    closed form; see its docstring). Prefer the closed-form version: this one
+    serializes thousands of single-config FK+SDF evaluations and costs
+    minutes of XLA compile time under nested vmap.
 
-    Returns ``(success [] bool, reached [T] bool, q_final [L])`` — jittable /
-    vmappable (pure JAX). Constants mirror the reference controller: 0.05 rad
-    tolerance, 2000-iteration budget per waypoint, 0.5 rad/s velocity cap,
-    240 Hz stepping (``utils/robot.py:416-453``).
+    Returns ``(success [] bool, reached [T] bool, q_final [L])``. Constants
+    mirror the reference controller: 0.05 rad tolerance, 2000-iteration
+    budget per waypoint, 0.5 rad/s velocity cap, 240 Hz stepping
+    (``utils/robot.py:416-453``).
 
     ``penetration_floor`` (optional scalar): deepest sphere-model clearance
     to tolerate as phantom contact (see module comment); the start state's
@@ -222,4 +244,118 @@ def kinematic_execute_trajectory(
     (q_final, success), reached = jax.lax.scan(
         scan_fn, (q0, jnp.ones((), bool)), traj
     )
+    return success, reached, q_final
+
+
+def kinematic_execute_trajectory(
+    collision,
+    trajectory,
+    dt: float = 1.0 / 240.0,
+    vmax: float = 0.5,
+    tol: float = 0.05,
+    max_iters: int = 2000,
+    contact_slack: float = 5e-3,
+    penetration_floor=None,
+    taper=None,
+    samples_per_segment: int = 32,
+):
+    """Closed-form contact-blocking PD executor (the production metric).
+
+    Identical dynamics to :func:`kinematic_execute_trajectory_stepped` but
+    computed analytically: per-joint position control at capped velocity
+    means joint ``j`` approaches its target monotonically at ``vmax*dt``
+    rad/step until arrival, so the config after ``n`` controller steps of a
+    segment with entry ``q0`` and target ``t`` is
+
+        q(n) = t - sign(t - q0) * max(|t - q0| - n * vmax * dt, 0)
+
+    (exact for real-valued ``n`` too — the path is piecewise linear in ``n``
+    with kinks only at per-joint arrivals, and the formula reproduces it
+    everywhere). The segment exits at ``n_stop = ceil((max_j|t-q0|_j - tol)
+    / (vmax*dt))`` — the first step whose worst joint error is within the
+    waypoint tolerance — and the executor is blocked iff any visited config
+    dips below the penetration floor. "Blocked stays blocked" (deterministic
+    dynamics), so success == (every segment reaches within ``max_iters``
+    controller steps) AND (no visited config violates the floor); that is
+    ONE batched FK+SDF clearance evaluation over ``[T, samples_per_segment]``
+    configs instead of thousands of serialized single-config steps — no
+    ``while_loop``, ~100x less XLA compile time under vmap, and the whole
+    check rides the same fused FK+gather pipeline as training.
+
+    Sampling: each segment is probed at ``samples_per_segment`` equally
+    spaced points of ``n in (0, n_stop]`` — spacing ``<= vmax*dt`` (i.e. at
+    least as dense as the stepped executor) whenever ``n_stop <=
+    samples_per_segment``, which holds for every benchmark trajectory
+    (150-waypoint paths: typical ``n_stop`` 5-25); coarser only on
+    degenerate multi-radian jumps, which fail on depth anyway.
+
+    ``taper``: optional ``(q_start, q_goal, radius)`` — tolerate each query
+    endpoint's phantom penetration depth with a linear falloff over L_inf
+    joint distance ``radius`` instead of globally (see module comment).
+    ``penetration_floor``/``taper=None`` reproduce the stepped executor's
+    global floor exactly.
+
+    Returns ``(success [] bool, reached [T] bool, q_final [L])``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    traj = jnp.asarray(trajectory)
+    dtype = traj.dtype
+    step_cap = jnp.asarray(vmax * dt, dtype)
+
+    def min_clear(q):
+        return jnp.min(collision.sphere_clearance(q), axis=-1)
+
+    # ---- closed-form segment chain (cheap scan over waypoints, no FK) ----
+    def seg(q, target):
+        delta = target - q
+        maxd = jnp.max(jnp.abs(delta))
+        n_stop = jnp.ceil(jnp.maximum(maxd - tol, 0.0) / step_cap)
+        q_exit = target - jnp.sign(delta) * jnp.maximum(
+            jnp.abs(delta) - n_stop * step_cap, 0.0
+        )
+        return q_exit, (q, n_stop)
+
+    q_last, (entries, n_stops) = jax.lax.scan(seg, traj[0], traj)
+    # NaN-safe: a non-finite segment never "reaches" (NaN comparisons are
+    # False), failing the trajectory like the stepped executor's budget would
+    reached_seg = n_stops <= max_iters  # [T]
+
+    # ---- visited configs, one batched evaluation ----
+    S = samples_per_segment
+    frac = jnp.arange(1, S + 1, dtype=dtype) / S            # (0, 1]
+    n_i = n_stops[:, None] * frac[None, :]                  # [T, S]
+    deltas = traj - entries                                 # [T, L]
+    resid = jnp.maximum(
+        jnp.abs(deltas)[:, None, :] - n_i[..., None] * step_cap, 0.0
+    )
+    qs = traj[:, None, :] - jnp.sign(deltas)[:, None, :] * resid  # [T, S, L]
+    visited = n_i > 0                                       # [T, S]
+    clear = min_clear(qs)                                   # [T, S]
+
+    # ---- penetration floor ----
+    if taper is not None:
+        q_s, q_g, radius = taper
+        q_s = jnp.asarray(q_s, dtype)
+        q_g = jnp.asarray(q_g, dtype)
+        depth_s = jnp.maximum(0.0, -min_clear(q_s))
+        depth_g = jnp.maximum(0.0, -min_clear(q_g))
+        dist_s = jnp.max(jnp.abs(qs - q_s), axis=-1)        # [T, S]
+        dist_g = jnp.max(jnp.abs(qs - q_g), axis=-1)
+        ramp = lambda d: jnp.maximum(0.0, 1.0 - d / radius)
+        allowed = jnp.maximum(depth_s * ramp(dist_s), depth_g * ramp(dist_g))
+        floor = -allowed - contact_slack                    # [T, S]
+    else:
+        floor0 = jnp.minimum(0.0, min_clear(traj[0]))
+        if penetration_floor is not None:
+            floor0 = jnp.minimum(floor0, jnp.asarray(penetration_floor, dtype))
+        floor = floor0 - contact_slack                      # []
+
+    blocked_seg = jnp.any(visited & (clear < floor), axis=-1)  # [T]
+    blocked_upto = jnp.cumsum(blocked_seg.astype(jnp.int32)) > 0
+    reached = reached_seg & ~blocked_upto
+    success = jnp.all(reached)
+    first_bad = jnp.argmax(~reached)
+    q_final = jnp.where(success, q_last, entries[first_bad])
     return success, reached, q_final
