@@ -5,7 +5,7 @@ VERDICT r1: a 36-problem batch is latency-bound (<1% MFU) — "solves/s/chip"
 only means something at saturation. This sweep replicates the real
 problemset across the batch axis (each replica gets an independent PRNG key,
 i.e. a genuinely distinct solve) and measures steady-state wall-clock per
-batch size. Output: SCALING_r03.json + a table on stdout; the knee feeds
+batch size. Output: SCALING_r04.json + a table on stdout; the knee feeds
 bench.py's reported batch size.
 
 Each batch size runs in its OWN subprocess: past the chip's HBM envelope the
@@ -84,7 +84,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--one", type=int, default=None,
                     help="internal: run a single batch size and print its JSON row")
-    ap.add_argument("--json-out", default=str(ROOT / "SCALING_r03.json"))
+    ap.add_argument("--json-out", default=str(ROOT / "SCALING_r04.json"))
     args = ap.parse_args()
 
     if args.one is not None:

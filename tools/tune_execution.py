@@ -68,7 +68,7 @@ def greedy_subsets(executed_kb: np.ndarray, inits: list) -> list:
     return out
 
 
-def run_config(robot, env, inits, overrides, seed, chunk=6):
+def run_config(robot, env, inits, overrides, seed, chunk=1):
     from vgpmp_tpu.engine import solver
     from vgpmp_tpu.session import PlanningSession
 
@@ -118,8 +118,10 @@ def main() -> None:
                     metavar="KEY=JSONVAL",
                     help="extra planner-param overrides applied to every "
                     "candidate, e.g. --set randomize_timesteps=true")
-    ap.add_argument("--chunk", type=int, default=6,
-                    help="restarts per XLA program (lower for HBM-edge combos)")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="restarts per XLA program; 1 (default) reuses ONE "
+                    "compiled [1,B] program for every init — the [K,B] "
+                    "ensemble shape costs K x the trace with no runtime win")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
