@@ -138,3 +138,44 @@ def test_adaptive_sharded_round_solver_matches_single_device(sess, queries):
         np.asarray(reps_s.min_clearance), np.asarray(reps_p.min_clearance),
         rtol=0, atol=1e-6,
     )
+
+
+def test_init_params_batch_matches_reference_init(sess, queries):
+    """The fused mode-as-data batch init must reproduce init_params exactly
+    for every mode (it replaced per-mode eager init on the dispatch-tunnel
+    hot path)."""
+    from vgpmp_tpu.models import vgpmp as planner
+
+    starts, goals = queries
+    pp = sess.planner_params
+    kw = dict(
+        lengthscales=np.asarray(pp["lengthscales"], np.float64),
+        variance=float(pp["variance"]),
+        sigma_obs=float(pp["sigma_obs"]),
+        alpha=float(pp["alpha"]),
+    )
+    modes = ["linear", "zeros", "waypoint", "linear", "zeros", "waypoint",
+             "linear", "zeros"]
+    fused = solver_mod.init_slots(sess.model, starts, goals, pp, modes)
+    for j, m in enumerate(modes):
+        ref = planner.init_params(
+            sess.model, starts[j], goals[j], interpolation=m, **kw
+        )
+        got = jax.tree.map(lambda x: np.asarray(x[j]), fused)
+        for f in ("q_mu", "q_sqrt", "lengthscales_u", "variance_u", "z_u",
+                  "sigma_obs_u", "alpha_u"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(ref, f)), getattr(got, f),
+                rtol=0, atol=1e-12, err_msg=f"row {j} mode {m} field {f}",
+            )
+
+    # frand rows go through the same via-point draw as before
+    fr = solver_mod.init_slots(sess.model, starts, goals, pp, ["frand3"] * 8)
+    w = solver_mod.restart_waypoints(sess.model, starts, goals, "frand3")
+    ref = planner.init_params(
+        sess.model, starts[0], goals[0], interpolation="waypoint",
+        waypoint=w[0], **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.q_mu), np.asarray(fr.q_mu[0]), rtol=0, atol=1e-12
+    )

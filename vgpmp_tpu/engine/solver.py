@@ -12,7 +12,6 @@ reference comes from. The engine is sharded over a device mesh by the
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -409,22 +408,47 @@ def init_slots(
     modes: list,
 ) -> planner.PlannerParams:
     """Per-slot q_mu init: like :func:`init_batch` but with an independent
-    init mode per row (``modes[j]`` applies to problem ``j``). Rows are
-    grouped by mode, initialized per group, and scattered back into slot
-    order."""
+    init mode per row (``modes[j]`` applies to problem ``j``).
+
+    Modes resolve host-side to (mode_id, via-point) DATA — via-point draws
+    for ``rand``/``frand`` reuse the cached clearance probe — and one jitted
+    program (:func:`planner.init_params_batch`) builds the whole batch:
+    through the remote-TPU dispatch tunnel, per-mode eager init cost 40+ s
+    per adaptive round; this path costs one dispatch.
+    """
+    starts = np.asarray(starts)
+    goals = np.asarray(goals)
+    B, L = starts.shape
+    mode_ids = np.zeros(B, dtype=np.int32)
+    wps = 0.5 * (starts + goals)  # safe in-box dummy for non-waypoint rows
     groups: dict = {}
     for j, m in enumerate(modes):
         groups.setdefault(m, []).append(j)
-    parts, order = [], []
     for m, idxs in groups.items():
-        p = init_ensemble(
-            model, starts[idxs], goals[idxs], planner_params, inits=(m,)
-        )
-        parts.append(jax.tree.map(lambda x: x[0], p))
-        order.extend(idxs)
-    cat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-    inv = jnp.asarray(np.argsort(np.asarray(order)))
-    return jax.tree.map(lambda x: x[inv], cat)
+        if m == "linear":
+            mode_ids[idxs] = 0
+        elif m == "zeros":
+            mode_ids[idxs] = 1
+        elif m == "waypoint":
+            mode_ids[idxs] = 2  # midpoint via-point (already in wps)
+        else:
+            w = restart_waypoints(model, starts[idxs], goals[idxs], m)
+            if w is None:
+                raise ValueError(f"unknown q_mu init mode {m!r}")
+            mode_ids[idxs] = 2
+            wps[idxs] = w
+    dtype = model.limits_low.dtype
+    return planner.init_params_batch(
+        model,
+        jnp.asarray(starts, dtype),
+        jnp.asarray(goals, dtype),
+        jnp.asarray(mode_ids),
+        jnp.asarray(wps, dtype),
+        jnp.asarray(np.asarray(planner_params["lengthscales"], np.float64), dtype),
+        jnp.asarray(float(planner_params["variance"]), dtype),
+        jnp.asarray(float(planner_params["sigma_obs"]), dtype),
+        jnp.asarray(float(planner_params["alpha"]), dtype),
+    )
 
 
 def solve_adaptive(
@@ -544,6 +568,17 @@ def solve_adaptive(
     return best_traj, merged, info
 
 
+@jax.jit
+def _min_clearance_probe(collision, flat):
+    """Worst sphere clearance per configuration, ``[n, L] -> [n]``.
+
+    Module-level jit (the collision model is a pytree argument) so repeated
+    via-point draws across adaptive rounds reuse ONE compiled program — a
+    fresh ``jax.jit(...)`` per call would retrace and recompile every round.
+    """
+    return jax.vmap(lambda q: jnp.min(collision.sphere_clearance(q[None, :])))(flat)
+
+
 def restart_waypoints(
     model: planner.PlannerModel,
     starts: np.ndarray,
@@ -591,9 +626,7 @@ def restart_waypoints(
         [flat_np, np.repeat(flat_np[-1:], n_pad - flat_np.shape[0], axis=0)]
     )
     flat = jnp.asarray(flat_np, model.limits_low.dtype)
-    clear = jax.jit(
-        jax.vmap(lambda q: jnp.min(model.collision.sphere_clearance(q[None, :])))
-    )(flat)
+    clear = _min_clearance_probe(model.collision, flat)
     clear = np.asarray(clear, np.float64)[: B * n_cand].reshape(B, n_cand)
     mid = 0.5 * (np.asarray(starts, np.float64) + np.asarray(goals, np.float64))
     detour = np.linalg.norm(cand - mid[:, None, :], axis=-1)
@@ -629,28 +662,11 @@ def init_ensemble(
     this raises the fraction of restarts that actually start in a useful
     homotopy class.
     """
-
-    def init_mode(interp: str) -> planner.PlannerParams:
-        common = dict(
-            lengthscales=np.asarray(planner_params["lengthscales"], dtype=np.float64),
-            variance=float(planner_params["variance"]),
-            sigma_obs=float(planner_params["sigma_obs"]),
-            alpha=float(planner_params["alpha"]),
-        )
-        wps = restart_waypoints(model, starts, goals, interp)
-        if wps is not None:
-            return jax.vmap(
-                lambda s, g, w: planner.init_params(
-                    model, s, g, interpolation="waypoint", waypoint=w, **common
-                )
-            )(jnp.asarray(starts), jnp.asarray(goals), jnp.asarray(wps))
-        return jax.vmap(
-            lambda s, g: planner.init_params(
-                model, s, g, interpolation=interp, **common
-            )
-        )(jnp.asarray(starts), jnp.asarray(goals))
-
-    batches = [init_mode(interp) for interp in inits]
+    B = len(np.asarray(starts))
+    batches = [
+        init_slots(model, starts, goals, planner_params, [interp] * B)
+        for interp in inits
+    ]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)
 
 
@@ -660,20 +676,14 @@ def init_batch(
     goals: np.ndarray,
     planner_params: dict,
 ) -> planner.PlannerParams:
-    """Vectorized ``init_params`` over a problem batch.
+    """Vectorized ``init_params`` over a problem batch (linear q_mu init).
 
     ``planner_params`` is the problemset hyperparameter dict (sigma_obs,
     lengthscales, variance, alpha, ...).
     """
-    init = functools.partial(
-        planner.init_params,
-        model,
-        lengthscales=np.asarray(planner_params["lengthscales"], dtype=np.float64),
-        variance=float(planner_params["variance"]),
-        sigma_obs=float(planner_params["sigma_obs"]),
-        alpha=float(planner_params["alpha"]),
+    return init_slots(
+        model, starts, goals, planner_params, ["linear"] * len(np.asarray(starts))
     )
-    return jax.vmap(lambda s, g: init(s, g))(jnp.asarray(starts), jnp.asarray(goals))
 
 
 class TrainState(NamedTuple):

@@ -182,6 +182,78 @@ def init_params(
     )
 
 
+@jax.jit
+def init_params_batch(
+    model: PlannerModel,
+    starts: jnp.ndarray,      # [B, L] constrained joint space
+    goals: jnp.ndarray,       # [B, L]
+    mode_ids: jnp.ndarray,    # [B] int32: 0=linear, 1=zeros, 2=waypoint
+    waypoints: jnp.ndarray,   # [B, L] via-points (used where mode_ids == 2)
+    lengthscales: jnp.ndarray,
+    variance: jnp.ndarray,
+    sigma_obs: jnp.ndarray,
+    alpha: jnp.ndarray,
+) -> PlannerParams:
+    """Batched :func:`init_params` with the q_mu init mode as DATA.
+
+    One jitted program initializes a whole problem batch with per-row init
+    modes — all three q_mu variants are computed (cheap ``[M, L]`` math) and
+    selected per row. This exists because the adaptive restart engine packs
+    heterogeneous init modes into one batch every round, and building inits
+    eagerly (one vmap'd ``init_params`` per mode group) costs seconds per op
+    through the remote-TPU dispatch tunnel — measured 40+ s/round of pure
+    init overhead vs ~1 ms for this fused program.
+    """
+    L = model.num_latent
+    M = model.num_inducing
+    P = model.collision.fk.sphere_radii.shape[0]
+    lo, hi = model.limits_low, model.limits_high
+    dtype = lo.dtype
+    B = starts.shape[0]
+    starts = starts.astype(dtype)
+    goals = goals.astype(dtype)
+    waypoints = waypoints.astype(dtype)
+
+    frac_lin = jnp.arange(M, dtype=dtype)[None, :, None] / M          # [1,M,1]
+    lin = starts[:, None, :] + (goals - starts)[:, None, :] * frac_lin
+    frac_wp = jnp.arange(M, dtype=dtype)[None, :, None] / max(M - 1, 1)
+    first = starts[:, None, :] + (waypoints - starts)[:, None, :] * jnp.minimum(
+        frac_wp * 2, 1.0
+    )
+    second = waypoints[:, None, :] + (goals - waypoints)[:, None, :] * jnp.maximum(
+        frac_wp * 2 - 1.0, 0.0
+    )
+    way = jnp.where(frac_wp < 0.5, first, second)
+
+    mid = jnp.broadcast_to(mode_ids[:, None, None], (B, M, L))
+    q_mu_c = jnp.where(mid == 0, lin, way)  # constrained-space candidates
+    q_mu = jnp.where(
+        mid == 1,
+        jnp.zeros((B, M, L), dtype),
+        joint_sigmoid_inverse(q_mu_c, lo, hi),
+    )
+
+    z_grid = jnp.linspace(0.1, 0.9, M, dtype=dtype)[:, None].repeat(L, axis=1)
+    rep = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    return PlannerParams(
+        q_mu=q_mu,
+        q_sqrt=rep(jnp.eye(M, dtype=dtype)[None].repeat(L, axis=0)),
+        lengthscales_u=rep(
+            tf_ops.positive_inverse(jnp.asarray(lengthscales, dtype=dtype))
+        ),
+        variance_u=rep(tf_ops.positive_inverse(
+            jnp.full((L,), variance, dtype=dtype), model.variance_lower
+        )),
+        z_u=rep(tf_ops.sigmoid_box_inverse(z_grid, Z_LOW, Z_HIGH)),
+        sigma_obs_u=rep(tf_ops.positive_inverse(
+            jnp.full((P,), sigma_obs, dtype=dtype), SIGMA_OBS_LOWER
+        )),
+        alpha_u=rep(
+            tf_ops.positive_inverse(jnp.asarray(alpha, dtype=dtype), ALPHA_LOWER)
+        ),
+    )
+
+
 def query_latent(model: PlannerModel, start: jnp.ndarray, goal: jnp.ndarray) -> jnp.ndarray:
     """Start/goal rows in latent space: ``[C, L]`` (``models/vgpmp.py:75-76``)."""
     q = jnp.stack([start, goal], axis=0)
