@@ -154,6 +154,42 @@ def main() -> None:
         ),
     )
 
+    # --- bwd decomposition of the dominant stage ------------------------------
+    # PROFILE_r03 left ~18 ms of log_prob bwd unattributed (gather accounts
+    # for ~9 ms at the measured issue rate); these stages isolate each leg.
+    pos = sphere_positions(model.collision.fk, cfgs)  # [B,S,N,P,3] fixed
+    radii = model.collision.fk.sphere_radii
+
+    def sdf_hinge_only(p):
+        d = model.collision.scene.distance(p) - radii
+        cost = jnp.maximum(model.collision.epsilon - d, 0.0)
+        return -0.5 * jnp.sum(cost * cost / sig, axis=-1)
+
+    report(
+        "SDF+hinge on fixed positions fwd",
+        bench_scan(fold(lambda p: sdf_hinge_only(p)), pos),
+    )
+    report(
+        "SDF+hinge on fixed positions fwd+bwd",
+        bench_scan(
+            fold(lambda p: jax.grad(lambda x: jnp.sum(sdf_hinge_only(x)))(p)),
+            pos,
+        ),
+    )
+
+    def fk_quadcost(q):
+        # FK machinery with a gather-free cost: isolates the FK bwd transpose
+        p = sphere_positions(model.collision.fk, q)
+        c = jnp.maximum(0.05 - jnp.sum(p * p, axis=-1), 0.0)
+        return -0.5 * jnp.sum(c * c / sig, axis=-1)
+
+    report(
+        "FK+quad-cost (no SDF) fwd+bwd",
+        bench_scan(
+            fold(lambda q: jax.grad(lambda x: jnp.sum(fk_quadcost(x)))(q)), cfgs
+        ),
+    )
+
     # --- full ELBO --------------------------------------------------------------
     def elbo_fwd(p_b):
         def one(p, s, g, k):
