@@ -67,6 +67,17 @@ def run_one(robot: str, env: str, B: int, reps: int) -> dict:
         res.best.block_until_ready()
         times.append(time.time() - t0)
     steady = min(times)
+    # a silently-faulted device can "complete" dispatches instantly (seen at
+    # B=256: 0.000 s steady after a 254 s first run) — or return garbage;
+    # sanity-gate on wall-clock and on the outputs actually being finite
+    best = np.asarray(res.best)
+    if steady < 0.05 or not np.isfinite(best).any():
+        return {
+            "batch": B, "failed": True,
+            "reason": f"implausible steady {steady:.4f}s / non-finite output "
+                      "(silent device fault)",
+            "compile_plus_first_seconds": round(compile_first, 1),
+        }
     return {
         "batch": B,
         "steady_seconds": round(steady, 3),
@@ -107,6 +118,8 @@ def main() -> None:
             row = {"batch": B, "failed": True, "rc": proc.returncode,
                    "tail": tail[0][:300] if tail else ""}
             print(f"B={B:5d}: FAILED rc={proc.returncode} ({row['tail'][:120]})")
+        elif row.get("failed"):
+            print(f"B={B:5d}: FAILED ({row.get('reason', '')[:140]})")
         else:
             print(
                 f"B={B:5d}: {row['steady_seconds']:8.3f} s steady -> "

@@ -462,6 +462,7 @@ def solve_adaptive(
     seed: int = 0,
     trainable: Optional[dict] = None,
     solve=None,
+    round_sizes: Optional[Tuple[int, ...]] = None,
 ):
     """Adaptive restart engine: restart compute goes only where it pays.
 
@@ -485,6 +486,15 @@ def solve_adaptive(
     of problems on init 0, so round 1 re-attacks ~5 problems with ~7
     restarts each — the K_eff accounting is returned in ``info``.
 
+    ``round_sizes``: allowed program batch shapes for restart rounds,
+    largest first (default ``(B, max(16, B // 4))`` clamped to ``<= B``).
+    When few problems remain unsolved, later rounds run in the smallest
+    bucket that still gives every unsolved problem a slot — the jitted
+    round program specializes per shape automatically, so a tail round
+    costs ~C/B of a full round instead of re-running all B slots. Pass
+    ``(B,)`` to pin a single shape (e.g. under a dp-sharded round solver,
+    where shapes must stay divisible by the mesh).
+
     Returns ``(best [B, Nnew, L] np.ndarray, reports (np fields), info)``;
     ``info = {"rounds": r, "spent": total_restarts, "k_eff": spent/B,
     "restarts_per_problem": [...]}``.
@@ -496,6 +506,8 @@ def solve_adaptive(
     sb, gb = jnp.asarray(starts, dtype), jnp.asarray(goals, dtype)
     if solve is None:
         solve = make_round_solver(model, cfg, trainable)
+    if round_sizes is None:
+        round_sizes = tuple(sorted({B, min(B, max(16, B // 4))}, reverse=True))
     keys_all = jax.random.split(
         jax.random.PRNGKey(seed), max_rounds * B
     ).reshape(max_rounds, B, 2)
@@ -512,7 +524,12 @@ def solve_adaptive(
             unsolved = np.nonzero(~merged.executed)[0]
             if unsolved.size == 0:
                 break
-            slot_prob = unsolved[np.arange(B) % unsolved.size]
+            # smallest bucket that still slots every unsolved problem
+            C = next(
+                (c for c in sorted(round_sizes) if c >= unsolved.size),
+                round_sizes[0],
+            )
+            slot_prob = unsolved[np.arange(C) % unsolved.size]
             modes = []
             for p_idx in slot_prob:
                 r = int(counters[p_idx])
@@ -527,9 +544,9 @@ def solve_adaptive(
             model, starts[slot_prob], goals[slot_prob], planner_params, modes
         )
         best_r, reps_r = solve(
-            params, sb[slot_prob], gb[slot_prob], keys_all[rnd]
+            params, sb[slot_prob], gb[slot_prob], keys_all[rnd, : len(slot_prob)]
         )
-        spent += B
+        spent += len(slot_prob)
         rounds += 1
         score_r = np.asarray(
             ensemble_score(reps_r.executed, reps_r.success, reps_r.min_clearance),
