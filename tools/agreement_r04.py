@@ -50,7 +50,18 @@ def main() -> None:
 
     out, tot_n = {}, 0
     tot_agree = tot_eo = tot_vo = 0
+    prev = {}
+    pf = ROOT / "CALIBRATION_r04.json"
+    if pf.exists() and "--fresh" not in sys.argv:
+        prev = json.loads(pf.read_text()).get("combos", {})
     for robot, env in COMBOS:
+        if f"{robot}/{env}" in prev and "error" not in prev[f"{robot}/{env}"]:
+            row = prev[f"{robot}/{env}"]
+            out[f"{robot}/{env}"] = row
+            tot_n += row["n"]; tot_agree += row["agree"]
+            tot_eo += row["executor_only"]; tot_vo += row["validator_only"]
+            print(f"{robot}/{env}: (kept) {row}", flush=True)
+            continue
         t0 = time.time()
         try:
             sess = PlanningSession(robot, env, dtype=jnp.float32)
@@ -60,6 +71,9 @@ def main() -> None:
                 sess.model, sess.train_config, starts, goals,
                 sess.planner_params, inits=inits,
                 max_rounds=len(inits) + 3, seed=11,
+                # pin the matrix's full-B round-program shape: tail-round
+                # buckets would each cost a fresh multi-minute compile here
+                round_sizes=(len(starts),),
             )
             ex = np.asarray(reps.executed)
             va = np.asarray(reps.success)
@@ -78,7 +92,14 @@ def main() -> None:
         except Exception as e:  # contain per-combo device faults
             row = {"error": f"{type(e).__name__}: {e}"[:200]}
         out[f"{robot}/{env}"] = row
-        print(f"{robot}/{env}: {row}")
+        print(f"{robot}/{env}: {row}", flush=True)
+        # incremental flush: a wall-clock cut keeps completed combos
+        (ROOT / "CALIBRATION_r04.json").write_text(json.dumps(
+            {"metric": "per-trajectory agreement (incremental)",
+             "combos": out,
+             "total_n": tot_n, 
+             "total_agreement": round(tot_agree / max(tot_n, 1), 4)},
+            indent=1))
 
     result = {
         "metric": "per-trajectory agreement: validate_trajectory (geometric, "
