@@ -79,7 +79,7 @@ def run_combo(
     schedule (``--parity``, which also pins the reference's jitter=1e-6).
     """
     from vgpmp_tpu.engine import solver
-    from vgpmp_tpu.engine.validator import execution_success, validate_trajectory
+    from vgpmp_tpu.engine.validator import execute_and_validate
     from vgpmp_tpu.session import PlanningSession
 
     overrides = {} if use_tuned else {"jitter": 1e-6}
@@ -116,11 +116,9 @@ def run_combo(
         solve_b = solver.make_batch_solver(sess.model, sess.train_config)
         val = jax.jit(
             jax.vmap(
-                lambda t, a, b: validate_trajectory(
+                lambda t, a, b: execute_and_validate(
                     sess.model.collision, t, a, b,
                     sess.model.limits_low, sess.model.limits_high,
-                )._replace(
-                    executed=execution_success(sess.model.collision, t, a, b)
                 )
             )
         )
@@ -146,9 +144,20 @@ def run_combo(
 
     steady = min(times[1:]) if len(times) > 1 else times[0]
     avg = float(np.mean(per_run))
+    try:  # artifact provenance: the engine commit that produced the numbers
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse",
+             "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
     out = {
         "robot": robot,
         "problemset": problemset,
+        "engine_commit": commit,
         "device": str(jax.devices()[0]),
         "problems": B,
         "restarts": K,
@@ -159,7 +168,8 @@ def run_combo(
             for k in ("num_steps", "num_samples", "num_inducing", "learning_rate")
         },
         "metric": "execution_success (contact-blocking PD executor + "
-                  "endpoints, tapered phantom floor r=0.5)",
+                  "endpoints, tapered phantom floor r=0.5, trilinear "
+                  "clearance, undersampling guard)",
         "k_eff": round(float(np.mean(k_effs)), 2) if k_effs else 1.0,
         "avg_solved": avg,
         "success_rate": avg / B,

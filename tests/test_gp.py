@@ -210,8 +210,11 @@ def test_paths_clamp_query_states(rng, hypers, inducing):
     # f(ny_i) = f_prior + (row_i(Kuu) - jitter e_i)^T v = u_i - jitter v_i,
     # and u_i = query_i (+O(jitter) sampling noise). The magnitude depends on
     # the Gram conditioning (the reference shares this structure at the same
-    # jitter); the invariant to test is the identity itself.
-    v = np.asarray(state.v)  # [S, L, Mc]
+    # jitter); the invariant to test is the identity itself. The state stores
+    # half-whitened coefficients a = L^T v, so recover v = L^{-T} a.
+    a = np.asarray(state.a)  # [S, L, Mc]
+    LT = np.transpose(np.asarray(state.chol), (0, 2, 1))  # [L, Mc, Mc]
+    v = np.linalg.solve(LT[None], a[..., None])[..., 0]  # [S, L, Mc]
     predicted = -JITTER * np.transpose(v[..., :C], (0, 2, 1))  # [S, C, L]
     np.testing.assert_allclose(err, predicted, atol=5e-5)
     # and the softness stays below jitter * ||v||_inf (sanity bound)
@@ -237,6 +240,24 @@ def test_se_kernel_rff_covariance(inducing):
     emp = np.einsum("sln,slm->lnm", np.asarray(f_prior), np.asarray(f_prior)) / 3000
     exact = np.asarray(K.squared_exponential(Xb, Xb, ls, s2))
     np.testing.assert_allclose(emp, exact, atol=0.1)
+
+
+def test_bailey_student_t_distribution():
+    """Bailey's closed-form polar sampler must reproduce the Student-t(5)
+    distribution that ``jax.random.t`` (gamma-rejection based) draws: matched
+    low-order moments and matched empirical quantiles."""
+    n = 400_000
+    df = 5.0
+    x = np.asarray(pathwise.student_t(jax.random.PRNGKey(7), df, (n,), jnp.float64))
+    assert np.all(np.isfinite(x))
+    # exact t(5) moments: mean 0, var df/(df-2) = 5/3, excess kurtosis 6
+    assert abs(x.mean()) < 0.02
+    np.testing.assert_allclose(x.var(), df / (df - 2.0), rtol=0.03)
+    y = np.asarray(jax.random.t(jax.random.PRNGKey(8), df, (n,), jnp.float64))
+    qs = [1, 5, 25, 50, 75, 95, 99]
+    np.testing.assert_allclose(
+        np.percentile(x, qs), np.percentile(y, qs), atol=0.05
+    )
 
 
 def test_shared_kernel_broadcasting():

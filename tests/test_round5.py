@@ -1,0 +1,210 @@
+"""Round-5 changes: divergence guard, sampling guard, fused metric,
+failure-informed detour restarts.
+
+Covers:
+- ``_guarded_step``: a non-finite Adam update is skipped entirely (params AND
+  optimizer state keep previous values); finite steps are bit-identical;
+- the closed-form executor's undersampling guard (advisor r4 medium): a
+  segment needing more controller steps than ``samples_per_segment`` is
+  conservatively unreached — the metric can only get stricter;
+- ``execute_and_validate``: its ``executed`` field equals the standalone
+  ``execution_success`` verdict (same PD path, floor and guard), so fusing
+  the two metrics into one clearance pass changed no semantics;
+- ``detour<i>`` restart via-points: anchored at the given configs, preferring
+  clear candidates near the anchor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vgpmp_tpu.session import PlanningSession
+
+
+@pytest.fixture(scope="module")
+def sess():
+    return PlanningSession("franka", "industrial", dtype=jnp.float64, sdf_mode="nearest")
+
+
+def _lin(a, b, n=40):
+    w = np.linspace(0, 1, n)[:, None]
+    return jnp.asarray(np.asarray(a) * (1 - w) + np.asarray(b) * w)
+
+
+# ---------------------------------------------------------------- NaN guard
+
+
+def test_guarded_step_skips_nonfinite_update():
+    from vgpmp_tpu.engine.solver import _guarded_step
+
+    params = {"a": jnp.asarray([1.0, 2.0]), "b": jnp.asarray(3.0)}
+    opt = optax.adam(0.1)
+    state = opt.init(params)
+
+    good_grads = {"a": jnp.asarray([0.1, -0.2]), "b": jnp.asarray(0.5)}
+    upd, new_state = opt.update(good_grads, state, params)
+    p1, s1 = _guarded_step(params, state, upd, new_state)
+    p_ref = optax.apply_updates(params, upd)
+    np.testing.assert_array_equal(np.asarray(p1["a"]), np.asarray(p_ref["a"]))
+    np.testing.assert_array_equal(np.asarray(p1["b"]), np.asarray(p_ref["b"]))
+
+    bad_grads = {"a": jnp.asarray([jnp.nan, -0.2]), "b": jnp.asarray(0.5)}
+    upd_bad, state_bad = opt.update(bad_grads, state, params)
+    p2, s2 = _guarded_step(params, state, upd_bad, state_bad)
+    # params unchanged
+    np.testing.assert_array_equal(np.asarray(p2["a"]), np.asarray(params["a"]))
+    np.testing.assert_array_equal(np.asarray(p2["b"]), np.asarray(params["b"]))
+    # optimizer state unchanged (would otherwise carry NaN moments forward)
+    for new_leaf, old_leaf in zip(jax.tree.leaves(s2), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(new_leaf), np.asarray(old_leaf))
+
+
+def test_solver_survives_poisoned_step(sess):
+    """A solve whose very first MC draw produces NaN grads (forced via a NaN
+    in a non-trainable constant would be artificial; instead inject NaN into
+    q_mu and verify isolation) must not poison the scan: the row reports
+    failed, and a clean row in the same batch is unaffected — this held
+    before via masking; the guard must not regress it."""
+    from vgpmp_tpu.engine import solver
+
+    starts, goals = sess.queries()
+    cfg = solver.TrainConfig(
+        num_steps=3, learning_rate=0.05, time_spacing_X=8, time_spacing_Xnew=10,
+        num_posterior_samples=2, ee_uncertainty=False,
+    )
+    params = solver.init_batch(sess.model, starts[:2], goals[:2], sess.planner_params)
+    params = params.replace(q_mu=params.q_mu.at[1].set(jnp.nan))
+    solve = solver.make_batch_solver(sess.model, cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    _, res = solve(params, jnp.asarray(starts[:2]), jnp.asarray(goals[:2]), keys)
+    assert not bool(res.failed[0])
+    assert bool(res.failed[1])
+    assert np.all(np.isfinite(np.asarray(res.best[0])))
+
+
+# ------------------------------------------------------- undersampling guard
+
+
+class _FreeSpace:
+    def sphere_clearance(self, q):
+        return jnp.full(q.shape[:-1] + (1,), 0.1, q.dtype)
+
+
+def test_sampling_guard_blocks_undersampled_jump():
+    """A multi-radian single-segment jump (n_stop > samples_per_segment)
+    must be conservatively unreached by the closed-form executor even in
+    free space — the stepped twin would walk it, so the guard only ever
+    makes the metric stricter (advisor r4 medium)."""
+    from vgpmp_tpu.sim import (
+        kinematic_execute_trajectory,
+        kinematic_execute_trajectory_stepped,
+    )
+
+    col = _FreeSpace()
+    a = np.zeros(4)
+    b = np.zeros(4)
+    b[0] = 1.0  # n_stop = ceil(0.95 / (0.5/240)) = 456 >> 64
+    traj = jnp.asarray(np.stack([a, b]))
+    ok_closed, reached, _ = kinematic_execute_trajectory(col, traj)
+    ok_stepped, _, _ = kinematic_execute_trajectory_stepped(col, traj)
+    assert bool(ok_stepped)        # physically reachable in 456 < 2000 steps
+    assert not bool(ok_closed)     # guard: cannot certify clearance sampling
+    # benchmark-style spacing (150 waypoints over the same 1 rad) passes
+    dense = _lin(a, b, 150)
+    ok_dense, _, _ = kinematic_execute_trajectory(col, dense)
+    assert bool(ok_dense)
+
+
+# ----------------------------------------------------------- fused metric
+
+
+def test_execute_and_validate_matches_execution_success(sess):
+    from vgpmp_tpu.engine.validator import execute_and_validate, execution_success
+
+    states = sess.states
+    lo = np.asarray(sess.model.limits_low)
+    a = np.asarray(states[0])
+    bad = a.copy()
+    bad[1], bad[3] = lo[1] * 0.98, lo[3] * 0.98
+    pool = [
+        (_lin(states[0], states[1]), states[0], states[1]),
+        (_lin(states[2], states[5]), states[2], states[5]),
+        (_lin(a, bad), a, bad),            # colliding
+        (_lin(a, a + 0.05), a, a + 0.05),  # free space
+        (_lin(a, a + 0.05), a, a + 0.3),   # endpoint miss
+    ]
+    f_fused = jax.jit(
+        lambda t, s, g: execute_and_validate(
+            sess.model.collision, t, s, g,
+            sess.model.limits_low, sess.model.limits_high,
+        )
+    )
+    f_exec = jax.jit(
+        lambda t, s, g: execution_success(sess.model.collision, t, s, g)
+    )
+    for k, (t, s, g) in enumerate(pool):
+        s, g = jnp.asarray(np.asarray(s)), jnp.asarray(np.asarray(g))
+        rep = f_fused(t, s, g)
+        ex = bool(f_exec(t, s, g))
+        assert bool(rep.executed) == ex, f"pool {k}: fused={bool(rep.executed)} standalone={ex}"
+    # geometric semantics: the free-space row validates, the colliding row not
+    rep_free = f_fused(pool[3][0], jnp.asarray(a), jnp.asarray(a + 0.05))
+    rep_coll = f_fused(pool[2][0], jnp.asarray(a), jnp.asarray(bad))
+    assert bool(rep_free.success)
+    assert not bool(rep_coll.collision_free)
+
+
+# ------------------------------------------------------- detour restarts
+
+
+def test_detour_waypoints_anchor_informed(sess):
+    from vgpmp_tpu.engine.solver import restart_waypoints
+
+    starts, goals = sess.queries()
+    B = 3
+    anchors = 0.5 * (starts[:B] + goals[:B]) + 0.1
+    wps = restart_waypoints(
+        sess.model, starts[:B], goals[:B], "detour3", anchors=anchors
+    )
+    assert wps.shape == (B, sess.spec.dof)
+    lo = np.asarray(sess.model.limits_low)
+    hi = np.asarray(sess.model.limits_high)
+    assert np.all(wps >= lo) and np.all(wps <= hi)
+    # anchored: the chosen via-points stay in the anchor's neighborhood
+    # (Gaussian perturbations at sigma <= 0.75, n_cand=64 draws)
+    assert np.all(np.linalg.norm(wps - anchors, axis=-1) < 3.0)
+    # without anchors, detour degrades to the free-space draw and still works
+    wps2 = restart_waypoints(sess.model, starts[:B], goals[:B], "detour3")
+    assert wps2.shape == (B, sess.spec.dof)
+
+
+def test_adaptive_dp_multiple_round_sizes(sess):
+    """A solve callable advertising ``dp_size`` forces mesh-divisible restart
+    buckets (advisor r4 medium): with B=6 and dp_size=3 the default tail
+    bucket (16 -> clamped/rounded) must be a multiple of 3."""
+    from vgpmp_tpu.engine import solver
+
+    starts, goals = sess.queries()
+    B = 6
+    cfg = solver.TrainConfig(
+        num_steps=2, learning_rate=0.05, time_spacing_X=6, time_spacing_Xnew=8,
+        num_posterior_samples=2, ee_uncertainty=False,
+    )
+    seen = []
+    base = solver.make_round_solver(sess.model, cfg)
+
+    def solve(params, s, g, k):
+        seen.append(int(s.shape[0]))
+        assert s.shape[0] % 3 == 0, f"round shape {s.shape[0]} not dp-divisible"
+        return base(params, s, g, k)
+
+    solve.dp_size = 3
+    solver.solve_adaptive(
+        sess.model, cfg, starts[:B], goals[:B], sess.planner_params,
+        inits=("linear", "zeros"), max_rounds=3, seed=0, solve=solve,
+    )
+    assert seen[0] == B

@@ -7,7 +7,14 @@ with the conditioned mean/scale overrides (``models/vgpmp.py:200-218``):
     mean = Kfuᵀ Kuu^{-1} m,      m = [query_states; q_mu]
     var  = kff_diag - diag(Kfuᵀ Kuu^{-1} Kuf) + diag(Kfuᵀ Kuu^{-1} Λ Λᵀ Kuu^{-1} Kuf)
 
-with Λ the conditioned scale from :func:`vgpmp_tpu.gp.pathwise.whitened_scale`.
+with Λ the conditioned scale ``chol(Kuu) @ pad(q_sqrt) + jitter-pad``.
+Computed in HALF-WHITENED form (round 5): with ``A = L^{-1} Kuf``,
+
+    mean = Aᵀ L^{-1} m
+    var  = kff - Σ_m A² + Σ_k (padᵀ A)² + jitter² Σ ((L^{-ᵀ}A)[:C])²
+
+— three tiny triangular solves instead of dense ``Kuu^{-1}``/Λ products, and
+every factor is cancellation-free (mirrors ``gp/pathwise.py``'s PathState).
 """
 
 from __future__ import annotations
@@ -18,8 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from vgpmp_tpu.ops import linalg
-
-from vgpmp_tpu.gp.pathwise import whitened_scale
 
 __all__ = ["predict_f"]
 
@@ -40,13 +45,17 @@ def predict_f(
     Returns:
         (mean ``[N, L]``, var ``[N, L]``).
     """
-    A = linalg.cho_solve(chol_kuu, kuf)  # Kuu^{-1} Kuf: [L, Mc, N]
-    mean = jnp.einsum("lmn,ml->nl", A, q_mu_full)
-    lam = whitened_scale(chol_kuu, q_sqrt, jitter)  # [L, Mc, Mc]
-    proj = jnp.einsum("lmk,lmn->lkn", lam, A)  # Λᵀ Kuu^{-1} Kuf: [L, Mc, N]
+    C = chol_kuu.shape[-1] - q_sqrt.shape[-1]
+    A = linalg.solve_lower(chol_kuu, kuf)  # L^{-1} Kuf: [L, Mc, N]
+    m_w = linalg.solve_lower(chol_kuu, q_mu_full.T[..., None])  # [L, Mc, 1]
+    mean = jnp.einsum("lmn,lm->nl", A, m_w[..., 0])
+    # Λᵀ Kuu^{-1} Kuf = padᵀ A + jitter (L^{-ᵀ} A)[:C]  (padᵀA rows < C are 0)
+    projq = jnp.einsum("lmk,lmn->lkn", jnp.tril(q_sqrt), A[:, C:, :])  # [L, M, N]
+    extra = jitter * linalg.solve_upper_T(chol_kuu, A)[:, :C, :]       # [L, C, N]
     var = (
         kff_diag
-        - jnp.einsum("lmn,lmn->ln", kuf, A)
-        + jnp.einsum("lkn,lkn->ln", proj, proj)
+        - jnp.einsum("lmn,lmn->ln", A, A)
+        + jnp.einsum("lkn,lkn->ln", projq, projq)
+        + jnp.einsum("lkn,lkn->ln", extra, extra)
     )
     return mean, var.T

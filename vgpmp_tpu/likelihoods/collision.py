@@ -56,6 +56,19 @@ class CollisionModel:
         pos = sphere_positions(self.fk, configs)  # [..., P, 3]
         return self.scene.distance(pos) - self.fk.sphere_radii
 
+    def sphere_clearance_eval(self, configs: jnp.ndarray) -> jnp.ndarray:
+        """Metric-evaluation clearance: trilinear SDF interpolation.
+
+        The executor/validator verdicts use C0 trilinear interpolation
+        instead of the training path's nearest-cell/packed semantics —
+        nearest-cell quantization is +-delta/2 (~5 mm at benchmark grids)
+        while the diagnosed residual failures were 2-15 mm grazes at exactly
+        that scale (VERDICT r4 weak #3). Training keeps the packed 1-gather
+        fast path; this runs only at extraction time.
+        """
+        pos = sphere_positions(self.fk, configs)
+        return self.scene.distance(pos, mode_override="trilinear") - self.fk.sphere_radii
+
     def hinge_cost(self, configs: jnp.ndarray) -> jnp.ndarray:
         """``max(epsilon - clearance, 0)`` per sphere (``likelihood.py:132-143``)."""
         return jnp.maximum(self.epsilon - self.sphere_clearance(configs), 0.0)

@@ -111,3 +111,12 @@ def solve_lower(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     import jax.scipy.linalg as jsl
 
     return jsl.solve_triangular(L, B, lower=True)
+
+
+def solve_upper_T(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``L^T X = B`` given lower-tri ``L``; unrolled for small static n."""
+    if L.shape[-1] <= MAX_UNROLL:
+        return solve_upper_T_unrolled(L, B)
+    import jax.scipy.linalg as jsl
+
+    return jsl.solve_triangular(L, B, lower=True, trans=1)

@@ -70,21 +70,20 @@ def make_sharded_round_solver(
     single-device engine is testable row-for-row
     (``tests/test_adaptive.py``).
     """
-    from vgpmp_tpu.engine.validator import ValidationReport, execution_success
+    from vgpmp_tpu.engine.validator import ValidationReport, execute_and_validate
 
     n_sp = mesh.shape[SP_AXIS]
     sample_axis = SP_AXIS if n_sp > 1 else None
     single = solver_mod.make_single_solver(
-        model, cfg, trainable, sample_axis=sample_axis
+        model, cfg.replace(ee_uncertainty=False), trainable, sample_axis=sample_axis
     )
 
     def solve_row(p, s, g, k):
         _, res = single(p, s, g, k)
-        rep = validate_trajectory(
+        rep = execute_and_validate(
             model.collision, res.best, s, g, model.limits_low, model.limits_high
         )
-        ex = execution_success(model.collision, res.best, s, g)
-        return res.best, rep._replace(executed=ex)
+        return res.best, rep
 
     def local(params_b, starts_b, goals_b, keys_b):
         return jax.vmap(solve_row)(params_b, starts_b, goals_b, keys_b)
@@ -97,7 +96,12 @@ def make_sharded_round_solver(
         out_specs=(P(DP_AXIS), rep_spec),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    fn = jax.jit(sharded)
+    # advertise the dp extent so solve_adaptive rounds its restart-bucket
+    # sizes to mesh-divisible shapes (advisor r4 finding: the default B//4
+    # tail bucket need not divide dp and crashed shard_map)
+    fn.dp_size = int(mesh.shape[DP_AXIS])
+    return fn
 
 
 def make_sharded_solver(

@@ -116,8 +116,25 @@ class Scene:
             extra_packed=tuple(PackedSdfGrid.pack(g) for g in self.extra_grids),
         )
 
-    def distance(self, points: jnp.ndarray) -> jnp.ndarray:
-        """World-frame ``[..., 3] -> [...]`` composed signed distance."""
+    def distance(self, points: jnp.ndarray, mode_override: str | None = None) -> jnp.ndarray:
+        """World-frame ``[..., 3] -> [...]`` composed signed distance.
+
+        ``mode_override``: evaluate with a different lookup than the scene's
+        configured training mode (e.g. ``'trilinear'`` for the
+        executor/validator metric path — sub-voxel accuracy — while training
+        keeps the packed fast path). The unpacked grids are always retained,
+        so any mode is available.
+        """
+        if mode_override is not None and mode_override != "packed":
+            lookup = (
+                trilinear_distance if mode_override == "trilinear" else nearest_distance
+            )
+            d = lookup(self.base, points - self.base_offset)
+            for g, grid in enumerate(self.extra_grids):
+                d = jnp.minimum(d, lookup(grid, points - self.extra_offsets[g]))
+            if self.primitives is not None:
+                d = jnp.minimum(d, self.primitives.distance(points))
+            return d
         if self.mode == "packed":
             d = packed_nearest_distance(self.base_packed, points - self.base_offset)
             for g, grid in enumerate(self.extra_packed):
