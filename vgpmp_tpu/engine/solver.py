@@ -579,22 +579,30 @@ def solve_adaptive(
             slot_prob = unsolved[(np.arange(C) + rnd * C) % unsolved.size]
             modes = []
             need_anchor = False
+            # configured inits run first, but only the first few before
+            # failure-informed detours join the rotation: tuned init lists
+            # are 6-12 entries and a problem that survived 4 diverse inits
+            # is in the regime where i.i.d. draws re-fail ~13 rounds in a
+            # row (wam/lab, VERDICT r4 weak #5) — the diagnosed-violation
+            # detour gets its first shot at restart 5 instead of 13.
+            head = min(len(inits), 4)
             for p_idx in slot_prob:
                 r = int(counters[p_idx])
-                if r < len(inits):
+                if r < head:
                     modes.append(inits[r])
                 else:
-                    # beyond the configured inits, alternate failure-informed
-                    # detours (seeded at the incumbent best trajectory's
-                    # deepest-violation config) with fresh free-space draws;
-                    # unique per (problem restart index, run seed) so multiple
-                    # slots of one problem draw distinct via-points
-                    extra = r - len(inits)
+                    extra = r - head
                     if extra % 2 == 0:
+                        # unique per (problem restart index, run seed):
+                        # distinct via-point draws for multiple slots/rounds
                         modes.append(f"detour{1000 + 101 * seed + r}")
                         need_anchor = True
                     else:
-                        modes.append(f"frand{1000 + 101 * seed + r}")
+                        rest = head + extra // 2
+                        modes.append(
+                            inits[rest] if rest < len(inits)
+                            else f"frand{1000 + 101 * seed + r}"
+                        )
                 counters[p_idx] += 1
             if need_anchor:
                 anchors = _worst_violation_configs(
