@@ -64,10 +64,19 @@ class SdfGrid:
             return cls.from_arrays(z["data"], z["origin"], float(z["delta"]), dtype)
 
     @staticmethod
-    def save_npz(path, data: np.ndarray, origin: np.ndarray, delta: float, meta: dict | None = None):
+    def save_npz(path, data: np.ndarray, origin: np.ndarray, delta: float,
+                 meta: dict | None = None, storage_dtype=np.float16):
+        """Write a grid artifact. Storage defaults to float16: worst-case
+        quantization is ~1.2e-4 m inside the hinge-active band (|d| < 0.25 m)
+        — an order of magnitude below voxel pitch, and far finer than the
+        bf16 the packed training path quantizes to anyway — while halving
+        the on-disk artifact (the finer round-5 grids are 28-54M voxels)."""
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(path, data=data.astype(np.float32), origin=np.asarray(origin, np.float64), delta=np.float64(delta))
+        np.savez_compressed(
+            path, data=data.astype(storage_dtype),
+            origin=np.asarray(origin, np.float64), delta=np.float64(delta),
+        )
         if meta:
             path.with_suffix(".json").write_text(json.dumps(meta, indent=1))
 
