@@ -107,6 +107,12 @@ def run_combo(
                 sess.model, sess.train_config, starts, goals,
                 sess.planner_params, inits=inits, max_rounds=max_rounds,
                 seed=run_seed, solve=solve,
+                # ONE program shape per combo: a B//4 tail bucket would cost
+                # a second full solver compile (~150 s at today's remote-
+                # compile service) to save a few seconds of tail-round
+                # steady time — the matrix pins the full-B shape and lets
+                # slot-packing spend the spare slots on extra restarts
+                round_sizes=(B,),
             )
             adaptive_used.append(info["rounds"] - 1)
             k_effs.append(info["k_eff"])
@@ -114,14 +120,17 @@ def run_combo(
     else:
         params0 = solver.init_batch(sess.model, starts, goals, sess.planner_params)
         solve_b = solver.make_batch_solver(sess.model, sess.train_config)
-        val = jax.jit(
+        # the model rides through jit as an argument, not a closure constant
+        # (round-5 grids exceed the remote-compile request limit as consts)
+        val_jit = jax.jit(
             jax.vmap(
-                lambda t, a, b: execute_and_validate(
-                    sess.model.collision, t, a, b,
-                    sess.model.limits_low, sess.model.limits_high,
-                )
+                lambda m, t, a, b: execute_and_validate(
+                    m.collision, t, a, b, m.limits_low, m.limits_high
+                ),
+                in_axes=(None, 0, 0, 0),
             )
         )
+        val = lambda t, a, b: val_jit(sess.model, t, a, b)
 
         def run_once(run_seed):
             keys = jax.random.split(jax.random.PRNGKey(run_seed), B)

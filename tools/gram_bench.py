@@ -18,7 +18,9 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax

@@ -292,11 +292,25 @@ def make_batch_solver(
     """Build ``solve_batch(params0_b, starts, goals, keys) -> (params_b, results_b)``.
 
     All arguments carry a leading problem axis B; constants (robot, SDF,
-    kernel config) are closed over and shared. One jit compiles the full
-    B-problem optimize+extract program.
+    kernel config) are shared. One jit compiles the full B-problem
+    optimize+extract program. The model pytree is threaded through jit AS AN
+    ARGUMENT (broadcast over the batch), not closed over: closure arrays are
+    serialized into the XLA module as constants, and at round-5 grid sizes
+    (28-54M voxels, packed + unpacked copies) that made an 800 MB compile
+    request the remote-TPU compile tunnel rejects outright (HTTP 413).
+    As parameters the grids ride the normal device-buffer path and the
+    serialized module is ~2.5 MB.
     """
-    solve = make_single_solver(model, cfg, trainable, keep_samples)
-    return jax.jit(jax.vmap(solve, in_axes=(0, 0, 0, 0)))
+
+    def solve_m(m, p, s, g, k):
+        return make_single_solver(m, cfg, trainable, keep_samples)(p, s, g, k)
+
+    jitted = jax.jit(jax.vmap(solve_m, in_axes=(None, 0, 0, 0, 0)))
+
+    def solve_batch(params, starts, goals, keys):
+        return jitted(model, params, starts, goals, keys)
+
+    return solve_batch
 
 
 def ensemble_score(executed, success, min_clearance):
@@ -356,21 +370,23 @@ def make_ensemble_solver(
     """
     from vgpmp_tpu.engine.validator import execute_and_validate
 
-    single = make_single_solver(model, cfg.replace(ee_uncertainty=False), trainable)
+    cfg_r = cfg.replace(ee_uncertainty=False)
 
-    def solve_row(p, s, g, k):
-        _, res = single(p, s, g, k)
+    def solve_row(m, p, s, g, k):
+        _, res = make_single_solver(m, cfg_r, trainable)(p, s, g, k)
         rep = execute_and_validate(
-            model.collision, res.best, s, g, model.limits_low, model.limits_high
+            m.collision, res.best, s, g, m.limits_low, m.limits_high
         )
         return res.best, rep
 
-    vm = jax.vmap(jax.vmap(solve_row, in_axes=(0, 0, 0, 0)),
-                  in_axes=(0, None, None, 0))
+    # model threaded as a jit argument, not a closure constant (see
+    # make_batch_solver: closure grids made an 800 MB compile request)
+    vm = jax.vmap(jax.vmap(solve_row, in_axes=(None, 0, 0, 0, 0)),
+                  in_axes=(None, 0, None, None, 0))
 
     @jax.jit
-    def solve(params_kb, starts, goals, keys_kb):
-        best_kb, reps_kb = vm(params_kb, starts, goals, keys_kb)  # [K, B, ...]
+    def solve_jit(m, params_kb, starts, goals, keys_kb):
+        best_kb, reps_kb = vm(m, params_kb, starts, goals, keys_kb)  # [K, B, ...]
         score = ensemble_score(
             reps_kb.executed, reps_kb.success, reps_kb.min_clearance
         )  # [K, B]
@@ -383,6 +399,9 @@ def make_ensemble_solver(
         if keep_member_reports:
             return best, reps, chosen, reps_kb
         return best, reps, chosen
+
+    def solve(params_kb, starts, goals, keys_kb):
+        return solve_jit(model, params_kb, starts, goals, keys_kb)
 
     return solve
 
@@ -410,16 +429,23 @@ def make_round_solver(
 
     # the round program consumes only (best, reports): skip the EE-uncertainty
     # chunked FK pass rather than trusting XLA DCE to prune it (compile cost)
-    single = make_single_solver(model, cfg.replace(ee_uncertainty=False), trainable)
+    cfg_r = cfg.replace(ee_uncertainty=False)
 
-    def solve_row(p, s, g, k):
-        _, res = single(p, s, g, k)
+    def solve_row(m, p, s, g, k):
+        _, res = make_single_solver(m, cfg_r, trainable)(p, s, g, k)
         rep = execute_and_validate(
-            model.collision, res.best, s, g, model.limits_low, model.limits_high
+            m.collision, res.best, s, g, m.limits_low, m.limits_high
         )
         return res.best, rep
 
-    return jax.jit(jax.vmap(solve_row, in_axes=(0, 0, 0, 0)))
+    # model threaded as a jit argument, not a closure constant (see
+    # make_batch_solver: closure grids made an 800 MB compile request)
+    jitted = jax.jit(jax.vmap(solve_row, in_axes=(None, 0, 0, 0, 0)))
+
+    def solve(params, starts, goals, keys):
+        return jitted(model, params, starts, goals, keys)
+
+    return solve
 
 
 def init_slots(

@@ -74,29 +74,40 @@ def make_sharded_round_solver(
 
     n_sp = mesh.shape[SP_AXIS]
     sample_axis = SP_AXIS if n_sp > 1 else None
-    single = solver_mod.make_single_solver(
-        model, cfg.replace(ee_uncertainty=False), trainable, sample_axis=sample_axis
-    )
+    cfg_r = cfg.replace(ee_uncertainty=False)
 
-    def solve_row(p, s, g, k):
+    def solve_row(m, p, s, g, k):
+        single = solver_mod.make_single_solver(
+            m, cfg_r, trainable, sample_axis=sample_axis
+        )
         _, res = single(p, s, g, k)
         rep = execute_and_validate(
-            model.collision, res.best, s, g, model.limits_low, model.limits_high
+            m.collision, res.best, s, g, m.limits_low, m.limits_high
         )
         return res.best, rep
 
-    def local(params_b, starts_b, goals_b, keys_b):
-        return jax.vmap(solve_row)(params_b, starts_b, goals_b, keys_b)
+    def local(m, params_b, starts_b, goals_b, keys_b):
+        return jax.vmap(solve_row, in_axes=(None, 0, 0, 0, 0))(
+            m, params_b, starts_b, goals_b, keys_b
+        )
 
     rep_spec = ValidationReport(*([P(DP_AXIS)] * len(ValidationReport._fields)))
+    # the model rides as a REPLICATED shard_map argument (P() prefix spec),
+    # not a closure: closure grids serialize into the XLA module as
+    # constants, which at round-5 grid sizes exceeds the remote-compile
+    # request limit (see engine.solver.make_batch_solver)
     sharded = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(DP_AXIS),) * 4,
+        in_specs=(P(),) + (P(DP_AXIS),) * 4,
         out_specs=(P(DP_AXIS), rep_spec),
         check_vma=False,
     )
-    fn = jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def fn(params_b, starts_b, goals_b, keys_b):
+        return jitted(model, params_b, starts_b, goals_b, keys_b)
+
     # advertise the dp extent so solve_adaptive rounds its restart-bucket
     # sizes to mesh-divisible shapes (advisor r4 finding: the default B//4
     # tail bucket need not divide dp and crashed shard_map)
@@ -122,16 +133,16 @@ def make_sharded_solver(
     """
     n_sp = mesh.shape[SP_AXIS]
     sample_axis = SP_AXIS if n_sp > 1 else None
-    single = solver_mod.make_single_solver(
-        model, cfg, trainable, sample_axis=sample_axis
-    )
 
-    def local_batch(params_b, starts_b, goals_b, keys_b, mask_b):
+    def local_batch(m, params_b, starts_b, goals_b, keys_b, mask_b):
+        single = solver_mod.make_single_solver(
+            m, cfg, trainable, sample_axis=sample_axis
+        )
         _, res = jax.vmap(single)(params_b, starts_b, goals_b, keys_b)
         if validate:
             reps = jax.vmap(
                 lambda t, a, b: validate_trajectory(
-                    model.collision, t, a, b, model.limits_low, model.limits_high
+                    m.collision, t, a, b, m.limits_low, m.limits_high
                 )
             )(res.best, starts_b, goals_b)
             w = mask_b.astype(res.best.dtype)
@@ -158,7 +169,7 @@ def make_sharded_solver(
             metrics = {}
         return res, metrics
 
-    in_spec = (P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS))
+    in_spec = (P(), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS), P(DP_AXIS))
     out_spec = (
         P(DP_AXIS),
         {
@@ -177,4 +188,9 @@ def make_sharded_solver(
         local_batch, mesh=mesh, in_specs=in_spec, out_specs=out_spec,
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def solve(params_b, starts_b, goals_b, keys_b, mask_b):
+        return jitted(model, params_b, starts_b, goals_b, keys_b, mask_b)
+
+    return solve

@@ -185,7 +185,18 @@ class PlanningSession:
             # 1e-6. The f64 linalg island + jitter escalation keep 1e-9 safe.
             jitter=float(self.planner_params.get("jitter", 1e-9)),
             solve_dtype=self.planner_params.get("solve_dtype", solve_dtype),
-            jitter_escalations=int(self.planner_params.get("jitter_escalations", 3)),
+            # escalation retries exist for f32 Cholesky headroom; under the
+            # f64 linalg island (cond 1e7-1e9 vs f64's ~1e15 headroom) they
+            # can never fire, and each retry adds a full unrolled Cholesky
+            # to the compiled graph (measured: escalations 3 -> 0 cuts the
+            # round-program compile 173 s -> 120 s at unchanged numerics)
+            jitter_escalations=int(
+                self.planner_params.get(
+                    "jitter_escalations",
+                    0 if (self.planner_params.get("solve_dtype", solve_dtype)
+                          == jnp.float64) else 3,
+                )
+            ),
             variance_lower=float(
                 self.planner_params.get(
                     "variance_lower",
