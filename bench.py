@@ -113,11 +113,13 @@ def main() -> None:
         return dt, ex, va, info
 
     # --- phase 1: the real problemset (adaptive restarts) -------------------
+    # one program shape (Q,): a tail bucket here would cost a second solver
+    # compile for ~2 s of steady saving at the real-set size
     solve_q = solver.make_round_solver(sess.model, sess.train_config)
-    t_first, _, _, _ = adaptive(solve_q, starts, goals, seed=0)
+    t_first, _, _, _ = adaptive(solve_q, starts, goals, seed=0, round_sizes=(Q,))
     log(f"real-set compile+first in {t_first:.1f}s")
     steady_real, success, validator_success, info = adaptive(
-        solve_q, starts, goals, seed=1
+        solve_q, starts, goals, seed=1, round_sizes=(Q,)
     )
     log(f"real set: {success:.4f} executed ({validator_success:.4f} validator) "
         f"in {steady_real:.2f}s, k_eff {info['k_eff']:.2f}")
