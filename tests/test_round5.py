@@ -107,7 +107,7 @@ def test_sampling_guard_blocks_undersampled_jump():
     col = _FreeSpace()
     a = np.zeros(4)
     b = np.zeros(4)
-    b[0] = 1.0  # n_stop = ceil(0.95 / (0.5/240)) = 456 >> 64
+    b[0] = 1.0  # n_stop = ceil(0.95 / (0.5/240)) = 456 >> samples_per_segment
     traj = jnp.asarray(np.stack([a, b]))
     ok_closed, reached, _ = kinematic_execute_trajectory(col, traj)
     ok_stepped, _, _ = kinematic_execute_trajectory_stepped(col, traj)

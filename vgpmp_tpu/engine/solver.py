@@ -518,6 +518,7 @@ def solve_adaptive(
     trainable: Optional[dict] = None,
     solve=None,
     round_sizes: Optional[Tuple[int, ...]] = None,
+    slots_per_unsolved: int = 4,
 ):
     """Adaptive restart engine: restart compute goes only where it pays.
 
@@ -593,9 +594,17 @@ def solve_adaptive(
             unsolved = np.nonzero(~merged.executed)[0]
             if unsolved.size == 0:
                 break
-            # smallest bucket that still slots every unsolved problem
+            # smallest bucket that gives every unsolved problem AT LEAST
+            # ``slots_per_unsolved`` restarts this round (capped at the
+            # largest bucket). Concentrating restarts converges in fewer
+            # rounds than minimal buckets: per-round fixed costs (scan
+            # prologue, extraction, metric) dominate tail rounds, so one
+            # 32-slot round that solves a 4-problem residue beats three
+            # 16-slot rounds that chip at it (measured round-5 bench:
+            # ~6 tail rounds at minimal buckets).
+            want = min(unsolved.size * slots_per_unsolved, round_sizes[0])
             C = next(
-                (c for c in sorted(round_sizes) if c >= unsolved.size),
+                (c for c in sorted(round_sizes) if c >= want),
                 round_sizes[0],
             )
             # rotate the packing offset per round so that when the bucket is

@@ -193,7 +193,7 @@ def pd_path_configs(
     dt: float = 1.0 / 240.0,
     vmax: float = 0.5,
     tol: float = 0.05,
-    samples_per_segment: int = 64,
+    samples_per_segment: int = 48,
 ):
     """Closed-form PD controller path (no FK/SDF — pure joint-space math).
 
@@ -324,7 +324,7 @@ def kinematic_execute_trajectory(
     contact_slack: float = 5e-3,
     penetration_floor=None,
     taper=None,
-    samples_per_segment: int = 64,
+    samples_per_segment: int = 48,
 ):
     """Closed-form contact-blocking PD executor (the production metric).
 
@@ -352,12 +352,15 @@ def kinematic_execute_trajectory(
     Sampling: each segment is probed at ``samples_per_segment`` equally
     spaced points of ``n in (0, n_stop]`` — spacing ``<= vmax*dt`` (i.e. at
     least as dense as the stepped executor) whenever ``n_stop <=
-    samples_per_segment`` (gaps up to ~0.18 rad L_inf at the default 64;
+    samples_per_segment`` (gaps up to ~0.117 rad L_inf at the default 32;
     150-waypoint benchmark paths have typical ``n_stop`` 5-25). Segments
     with ``n_stop > samples_per_segment`` are conservatively treated as
     UNREACHED (advisor r4 finding: undersampled probing could skip thin
     obstacles on multi-radian jumps — the guard can only make the metric
-    stricter, and such jumps are degenerate trajectories anyway).
+    stricter, and such jumps are degenerate trajectories anyway; lowering
+    ``samples_per_segment`` therefore only strengthens the guard while the
+    per-step sampling density whenever a segment IS reached stays exactly
+    the stepped executor's).
 
     ``taper``: optional ``(q_start, q_goal, radius)`` — tolerate each query
     endpoint's phantom penetration depth with a linear falloff over L_inf
