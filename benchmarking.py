@@ -227,19 +227,32 @@ def main() -> None:
     combos = ALL_COMBOS if args.all else [(args.robot, args.problemset)]
     results = []
     for r, p in combos:
-        try:
-            results.append(
-                run_combo(
-                    r, p, args.runs, sdf_mode, args.seed,
-                    use_tuned=not args.parity,
-                    adaptive_rounds=0 if args.parity else args.adaptive_rounds,
+        # one retry after a cool-down: the axon TPU throws transient
+        # FAILED_PRECONDITION when a previous process is still releasing the
+        # chip (observed when a queue launches this driver right after
+        # bench.py exits) — distinct from a genuine in-process poisoning,
+        # which the retry also cannot make worse.
+        for attempt in range(2):
+            try:
+                results.append(
+                    run_combo(
+                        r, p, args.runs, sdf_mode, args.seed,
+                        use_tuned=not args.parity,
+                        adaptive_rounds=0 if args.parity else args.adaptive_rounds,
+                    )
                 )
-            )
-        except Exception as e:  # device fault: record, keep going (a poisoned
-            # process fails the rest fast; completed combos must survive)
-            print(f"{r}/{p} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-            results.append({"robot": r, "problemset": p,
-                            "error": f"{type(e).__name__}: {e}"})
+                break
+            except Exception as e:  # device fault: record, keep going (a
+                # poisoned process fails the rest fast; completed combos
+                # must survive)
+                print(f"{r}/{p} FAILED (attempt {attempt}): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                if attempt == 0 and "FAILED_PRECONDITION" in str(e):
+                    time.sleep(45)
+                    continue
+                results.append({"robot": r, "problemset": p,
+                                "error": f"{type(e).__name__}: {e}"})
+                break
         if args.json_out:  # flush incrementally — a late crash keeps earlier combos
             with open(args.json_out, "w") as f:
                 json.dump(results, f, indent=1)

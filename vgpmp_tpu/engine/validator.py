@@ -161,7 +161,7 @@ def execute_and_validate(
     endpoint_tol: float = 0.05,
     contact_slack: float = 5e-3,
     taper_radius: float = 0.5,
-    samples_per_segment: int = 48,
+    samples_per_segment: int = 64,
     max_iters: int = 2000,
 ) -> ValidationReport:
     """Both metric verdicts from ONE clearance evaluation over the PD path.

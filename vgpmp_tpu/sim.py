@@ -193,7 +193,7 @@ def pd_path_configs(
     dt: float = 1.0 / 240.0,
     vmax: float = 0.5,
     tol: float = 0.05,
-    samples_per_segment: int = 48,
+    samples_per_segment: int = 64,
 ):
     """Closed-form PD controller path (no FK/SDF — pure joint-space math).
 
@@ -324,7 +324,7 @@ def kinematic_execute_trajectory(
     contact_slack: float = 5e-3,
     penetration_floor=None,
     taper=None,
-    samples_per_segment: int = 48,
+    samples_per_segment: int = 64,
 ):
     """Closed-form contact-blocking PD executor (the production metric).
 
@@ -352,15 +352,15 @@ def kinematic_execute_trajectory(
     Sampling: each segment is probed at ``samples_per_segment`` equally
     spaced points of ``n in (0, n_stop]`` — spacing ``<= vmax*dt`` (i.e. at
     least as dense as the stepped executor) whenever ``n_stop <=
-    samples_per_segment`` (gaps up to ~0.117 rad L_inf at the default 32;
+    samples_per_segment`` (gaps up to ~0.13 rad L_inf at the default 64;
     150-waypoint benchmark paths have typical ``n_stop`` 5-25). Segments
     with ``n_stop > samples_per_segment`` are conservatively treated as
     UNREACHED (advisor r4 finding: undersampled probing could skip thin
     obstacles on multi-radian jumps — the guard can only make the metric
-    stricter, and such jumps are degenerate trajectories anyway; lowering
-    ``samples_per_segment`` therefore only strengthens the guard while the
-    per-step sampling density whenever a segment IS reached stays exactly
-    the stepped executor's).
+    stricter). 64 is the measured safe budget: wiggly posterior samples
+    legitimately reach local waypoint gaps of ~0.1-0.13 rad, and a 48-sample
+    guard falsely failed them (measured: real-set restart spend doubled,
+    saturated success dropped to 0.984 with restarts exhausted).
 
     ``taper``: optional ``(q_start, q_goal, radius)`` — tolerate each query
     endpoint's phantom penetration depth with a linear falloff over L_inf
