@@ -128,6 +128,11 @@ def main() -> None:
                 f"compile+first {row['compile_plus_first_seconds']:.1f} s"
             )
         rows.append(row)
+        # incremental flush: a wall-clock cut keeps completed sizes
+        Path(args.json_out).write_text(json.dumps(
+            {"robot": args.robot, "env": args.env, "partial": True,
+             "isolation": "one subprocess per batch size", "rows": rows},
+            indent=1))
 
     import jax  # device name only; sweep itself ran in subprocesses
 

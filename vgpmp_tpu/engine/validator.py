@@ -192,26 +192,28 @@ def execute_and_validate(
     clear_fn = _eval_clearance_fn(collision)
     min_clear_of = lambda q: jnp.min(clear_fn(q), axis=-1)
 
-    qs, visited, n_stops, entries, q_last = pd_path_configs(
+    qs, visited, seg_idx, n_stops, entries, q_last, certified = pd_path_configs(
         traj, samples_per_segment=samples_per_segment
     )
-    clear = min_clear_of(qs)                                  # [T, S]
+    clear = min_clear_of(qs)                                  # [G]
     start_clear = min_clear_of(start)
     goal_clear = min_clear_of(goal)
 
     # tapered phantom floor (identical to the executor's; see vgpmp_tpu/sim.py)
     depth_s = jnp.maximum(0.0, -start_clear)
     depth_g = jnp.maximum(0.0, -goal_clear)
-    dist_s = jnp.max(jnp.abs(qs - start), axis=-1)            # [T, S]
+    dist_s = jnp.max(jnp.abs(qs - start), axis=-1)            # [G]
     dist_g = jnp.max(jnp.abs(qs - goal), axis=-1)
     ramp = lambda d: jnp.maximum(0.0, 1.0 - d / taper_radius)
     allowed = jnp.maximum(depth_s * ramp(dist_s), depth_g * ramp(dist_g))
-    floor = -allowed - contact_slack                          # [T, S]
+    floor = -allowed - contact_slack                          # [G]
 
-    violated = visited & (clear < floor)                      # [T, S]
-    blocked_seg = jnp.any(violated, axis=-1)                  # [T]
+    violated = visited & (clear < floor)                      # [G]
+    blocked_seg = (
+        jnp.zeros((traj.shape[0],), bool).at[seg_idx].max(violated)
+    )                                                         # [T]
     blocked_upto = jnp.cumsum(blocked_seg.astype(jnp.int32)) > 0
-    reached_seg = (n_stops <= max_iters) & (n_stops <= samples_per_segment)
+    reached_seg = (n_stops <= max_iters) & certified
     reached_all = jnp.all(reached_seg & ~blocked_upto)
 
     end_err = jnp.maximum(
