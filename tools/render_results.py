@@ -45,9 +45,9 @@ def fmt_combo(r):
 
 
 def main() -> None:
-    tuned = load("RESULTS_r04.json", "RESULTS_r03.json") or []
+    tuned = load("RESULTS_r05.json", "RESULTS_r04.json") or []
     parity = {}
-    for r in load("RESULTS_r04_parity.json", "RESULTS_r03_parity.json") or []:
+    for r in load("RESULTS_r05_parity.json", "RESULTS_r04_parity.json") or []:
         if "error" not in r:
             parity[(r["robot"], r["problemset"])] = r
 
@@ -87,7 +87,7 @@ def main() -> None:
               f"(vs_baseline {bench.get('vs_baseline')}x, success "
               f"{bench.get('success_rate')}, k_eff "
               f"{(bench.get('adaptive') or {}).get('k_eff')})")
-    scaling = load("SCALING_r04.json", "SCALING_r03.json")
+    scaling = load("SCALING_r05.json", "SCALING_r04.json")
     if scaling:
         print()
         print("batch scaling (franka/industrial, full budget):")
