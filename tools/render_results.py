@@ -79,6 +79,22 @@ def main() -> None:
             f"| **total** | {int(tot_p)}{cover} | **{tot_s / tot_p:.3f}** | "
             f"{par_str} | | | | |"
         )
+        # the skeptic's numbers (VERDICT r4 weak #8): all-combo aggregate
+        # steady throughput over every run, and the compile share of total
+        # chip time, straight from the matrix artifact
+        runs = [len(f["runs"]) or 1 for f in rows]
+        steady_all = sum(f["steady_s"] * n for f, n in zip(rows, runs)
+                         if f.get("steady_s"))
+        compile_all = sum(f["compile_s"] for f in rows if f.get("compile_s"))
+        solved_all = sum(f["problems"] * n for f, n in zip(rows, runs))
+        if steady_all:
+            print()
+            print(f"aggregate (all combos, all runs): {solved_all} problems / "
+                  f"{steady_all:.0f} s steady = "
+                  f"**{solved_all / steady_all:.2f} solves/s**; "
+                  f"compile+first {compile_all:.0f} s = "
+                  f"{compile_all / (compile_all + steady_all):.0%} of total "
+                  f"chip time")
 
     bench = load("BENCH_PARTIAL.json")
     if bench:
